@@ -1,0 +1,219 @@
+"""Typed configuration for the CT-CLIP TPU framework.
+
+The reference duplicates model hyperparameters as constructor kwargs across six
+entry scripts (e.g. /root/reference/scripts/run_train.py:17-42 ==
+run_zero_shot.py:11-34 == ct_lipro_train.py:47-58).  Here there is a single
+typed config tree with the reference defaults baked in.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+# The 18 CT-RATE pathologies (reference: scripts/zero_shot.py:121).
+PATHOLOGIES: Tuple[str, ...] = (
+    "Medical material",
+    "Arterial wall calcification",
+    "Cardiomegaly",
+    "Pericardial effusion",
+    "Coronary artery wall calcification",
+    "Hiatal hernia",
+    "Lymphadenopathy",
+    "Emphysema",
+    "Atelectasis",
+    "Lung nodule",
+    "Lung opacity",
+    "Pulmonary fibrotic sequela",
+    "Pleural effusion",
+    "Mosaic attenuation pattern",
+    "Peribronchial thickening",
+    "Consolidation",
+    "Bronchiectasis",
+    "Interlobular septal thickening",
+)
+
+
+def _asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _Base:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, default=str)
+
+
+@dataclass(frozen=True)
+class CTViTConfig(_Base):
+    """3D factorized ViT + VQ image tower (reference: scripts/run_train.py:17-27,
+    transformer_maskgit/ctvit.py:118-188)."""
+
+    dim: int = 512
+    codebook_size: int = 8192
+    image_size: int = 480
+    patch_size: int = 20
+    temporal_patch_size: int = 10
+    spatial_depth: int = 4
+    temporal_depth: int = 4
+    dim_head: int = 32
+    heads: int = 8
+    channels: int = 1
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    # VQ (reference: ctvit.py:188 -> vector_quantize_pytorch defaults)
+    vq_decay: float = 0.8
+    vq_commitment_weight: float = 1.0
+    vq_eps: float = 1e-5
+    # Temporal extent of the production volume in frames (240 slices).
+    num_frames: int = 240
+    # Whether to build the decoder mirror (the reference's decoder is dead code,
+    # ctvit.py:325-335 reference attrs never created; we build a working one).
+    with_decoder: bool = False
+
+    @property
+    def patch_hw(self) -> int:
+        return self.image_size // self.patch_size  # 24
+
+    @property
+    def patch_t(self) -> int:
+        return self.num_frames // self.temporal_patch_size  # 24
+
+    @property
+    def patch_dim(self) -> int:
+        return self.channels * self.temporal_patch_size * self.patch_size ** 2
+
+
+@dataclass(frozen=True)
+class BertConfig(_Base):
+    """HF-BertModel-compatible text tower (CXR-BERT specialized shape).
+
+    Reference loads `microsoft/BiomedVLP-CXR-BERT-specialized` as a plain
+    BertModel (scripts/run_train.py:9)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    pad_token_id: int = 0
+    with_pooler: bool = True
+
+
+@dataclass(frozen=True)
+class CTCLIPConfig(_Base):
+    """Dual-tower CLIP (reference: CT_CLIP/ct_clip/ct_clip.py:407-585,
+    production kwargs scripts/run_train.py:31-42)."""
+
+    dim_text: int = 768
+    dim_image: int = 294912  # 24*24*512 flattened post-temporal-pool grid
+    dim_latent: int = 512
+    use_all_token_embeds: bool = False  # FILIP fine-grained loss
+    decoupled_contrastive_learning: bool = False  # DCL
+    extra_latent_projection: bool = False  # CLOOB
+    use_mlm: bool = False
+    text_ssl_loss_weight: float = 0.05
+    use_visual_ssl: bool = False
+    image_ssl_loss_weight: float = 0.05
+    multiview_loss_weight: float = 0.1
+    temperature_init: float = 1.0
+    # TPU addition: gather negatives across the data axis of the mesh
+    # (capability stubbed but unused in reference CT_CLIP/ct_clip/distributed.py).
+    gather_negatives: bool = True
+
+    ctvit: CTViTConfig = field(default_factory=CTViTConfig)
+    bert: BertConfig = field(default_factory=BertConfig)
+
+
+@dataclass(frozen=True)
+class PreprocessConfig(_Base):
+    """Volume preprocessing (reference: scripts/data.py:92-162 train path,
+    scripts/data_inference_nii.py:96-165 inference path)."""
+
+    target_spacing: Tuple[float, float, float] = (1.5, 0.75, 0.75)  # (z, x, y) mm
+    hu_min: float = -1000.0
+    hu_max: float = 1000.0
+    norm_scale: float = 1000.0
+    target_shape: Tuple[int, int, int] = (480, 480, 240)  # (h, w, d) pre-permute
+    pad_value: float = -1.0
+    # train clips HU after resample (data.py:122), infer clips before
+    # (data_inference_nii.py:115); both supported.
+    clip_before_resample: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig(_Base):
+    """Device mesh layout. data = batch sharding (DDP/FSDP equivalent),
+    model = optional tensor sharding for the 294912x512 projection."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig(_Base):
+    """Pretraining loop (reference defaults: scripts/CTCLIPTrainer.py:128-131,
+    scripts/run_train.py:52-55)."""
+
+    num_train_steps: int = 100001
+    batch_size: int = 8
+    lr: float = 1.25e-6
+    wd: float = 0.0
+    max_grad_norm: float = 0.5
+    warmup_steps: int = 0  # reference runs constant LR
+    save_results_every: int = 100
+    save_model_every: int = 2000
+    seed: int = 42
+    compute_dtype: str = "bfloat16"  # autocast equivalent
+    remat: bool = False  # jax.checkpoint on transformer blocks
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+@dataclass(frozen=True)
+class RadBertConfig(_Base):
+    """RadBERT-RoBERTa-4m multilabel text classifier
+    (reference: text_classifier/classifier.py:5-18)."""
+
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    pad_token_id: int = 1
+    num_labels: int = 18
+
+
+@dataclass(frozen=True)
+class MaskGitConfig(_Base):
+    """Bidirectional token transformer over VQ ids
+    (reference: transformer_maskgit/MaskGITTransformer.py:103-211)."""
+
+    dim: int = 512
+    depth: int = 6
+    dim_head: int = 64
+    heads: int = 8
+    max_seq_len: int = 13824 + 1
+    t5_dim: int = 768
+    unconditional: bool = False
+    steps: int = 18
+    cond_scale: float = 5.0

@@ -1,0 +1,101 @@
+"""Host-side parallel volume loader with device prefetch.
+
+The reference leans on torch DataLoader worker processes doing the full
+preprocess on CPU (~seconds/volume, SURVEY.md §3.1).  Here the host only
+reads + gunzips NIfTI bytes in a thread pool (C++ fast path when built),
+pads each raw volume to a shape bucket, and ships it to device where the
+fused preprocess kernel (ops/resample.py) does the voxel math.  A small
+prefetch queue keeps the device fed (double buffering across the host->HBM
+boundary, the TPU equivalent of `cycle(dl)` + pinned-memory loading).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .datasets import CTReportDataset, VolumeMeta
+
+# Bucket granularity per axis: raw CT volumes are typically (Z, 512, 512)
+# with Z in [100, 600]; round Z up to 64s and XY up to 128s.
+BUCKET_Z = 64
+BUCKET_XY = 128
+
+
+def bucket_shape(shape: Sequence[int]) -> Tuple[int, int, int]:
+    z, x, y = shape
+
+    def up(v, m):
+        return ((v + m - 1) // m) * m
+
+    return (up(z, BUCKET_Z), up(x, BUCKET_XY), up(y, BUCKET_XY))
+
+
+@dataclass
+class RawSample:
+    vol: np.ndarray            # (Zb, Xb, Yb) zero-padded to bucket
+    true_sizes: np.ndarray     # (3,) int32 actual extents
+    spacing: np.ndarray        # (3,) f32 (z, x, y)
+    slope: np.float32
+    intercept: np.float32
+    meta: VolumeMeta
+
+
+class VolumeLoader:
+    """Iterates RawSamples with `num_workers` reader threads and a bounded
+    prefetch queue.  Shuffling + infinite cycling for training."""
+
+    def __init__(self, dataset: CTReportDataset, num_workers: int = 8,
+                 prefetch: int = 8, shuffle: bool = False,
+                 infinite: bool = False, seed: int = 0):
+        self.ds = dataset
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.shuffle = shuffle
+        self.infinite = infinite
+        self.seed = seed
+
+    def _indices(self) -> Iterator[int]:
+        rng = np.random.RandomState(self.seed)
+        epoch = 0
+        while True:
+            order = np.arange(len(self.ds))
+            if self.shuffle:
+                rng.shuffle(order)
+            yield from order.tolist()
+            epoch += 1
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[RawSample]:
+        def load(index: int) -> RawSample:
+            vol, meta = self.ds.read_raw(index)
+            true = np.asarray(vol.shape, np.int32)
+            bshape = bucket_shape(vol.shape)
+            if tuple(bshape) != vol.shape:
+                padded = np.zeros(bshape, np.float32)
+                padded[: vol.shape[0], : vol.shape[1], : vol.shape[2]] = vol
+                vol = padded
+            return RawSample(vol=vol, true_sizes=true,
+                             spacing=np.asarray(meta.spacing_zxy, np.float32),
+                             slope=np.float32(meta.slope),
+                             intercept=np.float32(meta.intercept), meta=meta)
+
+        indices = self._indices()
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            for _ in range(self.prefetch):
+                idx = next(indices, None)
+                if idx is None:
+                    break
+                pending.append(pool.submit(load, idx))
+            while pending:
+                fut = pending.pop(0)
+                idx = next(indices, None)
+                if idx is not None:
+                    pending.append(pool.submit(load, idx))
+                yield fut.result()

@@ -1,0 +1,193 @@
+"""CTCLIP: dual-tower contrastive model (text BERT x CTViT image tower).
+
+Capability parity with CT_CLIP/ct_clip/ct_clip.py:407-901:
+  text: BERT last-hidden CLS token -> Linear(768->512, no bias) -> l2norm
+        (ct_clip.py:685-686, 762-765, 771)
+  image: CTViT encoded tokens (b,24,24,24,512) -> mean over temporal axis
+        -> flatten (b, 294912) -> Linear(294912->512, no bias) -> l2norm
+        (ct_clip.py:715-771)
+  loss: bidirectional InfoNCE with learnable exp temperature, optional DCL
+        diagonal masking, CLOOB extra projections, multiview aug batches
+        (ct_clip.py:818-901)
+
+TPU-native additions:
+  * `encode_text` / `encode_image` expose the towers separately so zero-shot
+    can cache the 36 prompt latents and batch volumes (fixes the reference's
+    18x image-tower rerun, SURVEY.md §3.2).
+  * the contrastive loss optionally all-gathers latents over the `data` mesh
+    axis, so negatives scale with the pod — the capability the reference
+    stubs but never uses (CT_CLIP/ct_clip/distributed.py).
+  * the 294912->512 projection is a 150M-param matmul; with a `model` mesh
+    axis its kernel is sharded on the input dim (see parallel/sharding.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import CTCLIPConfig
+from ..ops.norms import l2norm
+from .bert import BertModel
+from .ctvit import CTViT
+
+LOG_EPS = 1e-20  # reference log eps (ct_clip.py:45-46)
+
+
+def contrastive_loss(text_latents: jnp.ndarray, image_latents: jnp.ndarray,
+                     temp: jnp.ndarray, *, decoupled: bool = False,
+                     image_to_text_latents: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                     axis_name: Optional[str] = None):
+    """Bidirectional InfoNCE in the reference's exp/diag/row-sum form
+    (ct_clip.py:845-878), computed as a stable log-softmax (identical up to
+    the reference's 1e-20 log eps).
+
+    text_latents/image_latents: (m, b, d) / (n, b, d) l2-normalized multiview
+    stacks (m=n=1 for the production path).  If `axis_name` is set, latents
+    are all-gathered over that mesh axis so every device sees pod-wide
+    negatives; gradients flow back through the gather (reduce-scatter).
+    Returns (cl_loss, multiview_cl_loss).
+    """
+    if axis_name is not None:
+        gather = lambda t: jax.lax.all_gather(t, axis_name, axis=1, tiled=True)
+        text_latents = gather(text_latents)
+        image_latents = gather(image_latents)
+        if image_to_text_latents is not None:
+            image_to_text_latents = tuple(map(gather, image_to_text_latents))
+
+    m, b, _ = text_latents.shape
+    n = image_latents.shape[0]
+    t2i = jnp.einsum("mtd,nid->mnti", text_latents, image_latents,
+                     preferred_element_type=jnp.float32) * temp
+    if image_to_text_latents is not None:  # CLOOB extra projections
+        tl_x, il_x = image_to_text_latents
+        i2t = jnp.einsum("mtd,nid->mnit", tl_x, il_x,
+                         preferred_element_type=jnp.float32) * temp
+    else:
+        i2t = jnp.swapaxes(t2i, -1, -2)
+
+    t2i = t2i.reshape(m * n, b, b)
+    i2t = i2t.reshape(m * n, b, b)
+
+    def one_direction(sim):
+        pos = jnp.diagonal(sim, axis1=-2, axis2=-1)  # (mn, b)
+        if decoupled:  # DCL: drop positives from the denominator (ct_clip.py:865-867)
+            eye = jnp.eye(b, dtype=bool)
+            sim = jnp.where(eye[None], -jnp.inf, sim)
+        denom = jax.nn.logsumexp(sim, axis=-1)  # (mn, b)
+        return jnp.mean(denom - pos, axis=-1)  # (mn,)
+
+    cl_losses = 0.5 * (one_direction(t2i) + one_direction(i2t))
+    return cl_losses[0], cl_losses[1:]
+
+
+class CTCLIP(nn.Module):
+    config: CTCLIPConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.text_transformer = BertModel(cfg.bert, dtype=self.dtype,
+                                          name="text_transformer")
+        self.visual_transformer = CTViT(cfg.ctvit, dtype=self.dtype,
+                                        name="visual_transformer")
+        dense = lambda name: nn.Dense(cfg.dim_latent, use_bias=False,
+                                      dtype=self.dtype, name=name)
+        self.to_text_latent = dense("to_text_latent")
+        self.to_visual_latent = dense("to_visual_latent")
+        # created unconditionally for checkpoint parity (ct_clip.py:580-582)
+        self.to_text_latent_extra = dense("to_text_latent_extra")
+        self.to_visual_latent_extra = dense("to_visual_latent_extra")
+        self.temperature = self.param("temperature", nn.initializers.constant(
+            self.config.temperature_init), ())
+
+    def encode_text(self, input_ids, attention_mask, deterministic=True,
+                    return_encodings=False):
+        enc_text, _ = self.text_transformer(input_ids, attention_mask,
+                                            deterministic=deterministic)
+        if return_encodings:
+            return enc_text
+        text_embeds = enc_text[:, 0]  # CLS pooling (ct_clip.py:762)
+        return l2norm(self.to_text_latent(text_embeds))
+
+    def encode_image(self, video, train=False, deterministic=True,
+                     return_encodings=False):
+        enc_image = self.visual_transformer(video, return_encoded_tokens=True,
+                                            train=train,
+                                            deterministic=deterministic)
+        if return_encodings:
+            return enc_image
+        pooled = jnp.mean(enc_image, axis=1)  # temporal mean (ct_clip.py:724)
+        flat = pooled.reshape(pooled.shape[0], -1)
+        return l2norm(self.to_visual_latent(flat)), enc_image
+
+    def __call__(self, input_ids, attention_mask, video, *,
+                 return_loss: bool = False, return_latents: bool = False,
+                 return_encodings: bool = False, train: bool = False,
+                 num_batch_texts: int = 1, num_batch_images: int = 1,
+                 text_to_image: bool = True, axis_name: Optional[str] = None,
+                 deterministic: bool = True):
+        """input_ids/attention_mask: ((m*b), L); video: ((n*b), f, H, W, c)
+        channels-last.  Mirrors CTCLIP.forward (ct_clip.py:614-901)."""
+        cfg = self.config
+
+        enc_text, _ = self.text_transformer(input_ids, attention_mask,
+                                            deterministic=deterministic)
+        enc_image = self.visual_transformer(video, return_encoded_tokens=True,
+                                            train=train,
+                                            deterministic=deterministic)
+
+        pooled = jnp.mean(enc_image, axis=1)
+        image_embeds = pooled.reshape(pooled.shape[0], -1)
+
+        if return_encodings:
+            return enc_text, image_embeds
+
+        text_embeds = enc_text[:, 0]
+        text_latents = l2norm(self.to_text_latent(text_embeds))
+        image_latents = l2norm(self.to_visual_latent(image_embeds))
+
+        extra = None
+        if cfg.extra_latent_projection:
+            extra = (l2norm(self.to_text_latent_extra(text_embeds)),
+                     l2norm(self.to_visual_latent_extra(image_embeds)))
+
+        if return_latents:
+            if cfg.extra_latent_projection:
+                return text_latents, image_latents, extra[0], extra[1]
+            return text_latents, image_latents, enc_image
+
+        temp = jnp.exp(self.temperature)
+
+        if not return_loss:
+            # zero-shot pair scoring: broadcast text batch against image batch
+            # (ct_clip.py:805-807 einsum 'b d, b d -> b')
+            tl, il = text_latents, image_latents
+            if cfg.extra_latent_projection and not text_to_image:
+                tl, il = extra
+            return jnp.sum(tl * il, axis=-1) * temp
+
+        m, n = num_batch_texts, num_batch_images
+        tl = text_latents.reshape(m, -1, cfg.dim_latent)
+        il = image_latents.reshape(n, -1, cfg.dim_latent)
+        extra_mn = None
+        if cfg.extra_latent_projection:
+            extra_mn = (extra[0].reshape(m, -1, cfg.dim_latent),
+                        extra[1].reshape(n, -1, cfg.dim_latent))
+
+        cl_loss, multiview = contrastive_loss(
+            tl, il, temp, decoupled=cfg.decoupled_contrastive_learning,
+            image_to_text_latents=extra_mn,
+            axis_name=axis_name if cfg.gather_negatives else None)
+
+        is_multiview = (m > 1 or n > 1)
+        multiview_weight = cfg.multiview_loss_weight if is_multiview else 0.0
+        cl_weight = 1.0 - (cfg.text_ssl_loss_weight * float(cfg.use_mlm)
+                           + cfg.image_ssl_loss_weight * float(cfg.use_visual_ssl)
+                           + multiview_weight)
+        loss = cl_loss * cl_weight
+        if is_multiview:
+            loss = loss + jnp.mean(multiview) * multiview_weight
+        return loss

@@ -1,0 +1,348 @@
+"""Attention blocks.
+
+Two families, mirroring the reference's two stacks:
+
+* `QKNormAttention` / `MaskgitTransformer` — transformer_maskgit/attention.py:
+  88-181/280-333.  QK l2-norm with learned per-dim scales (fixed logit scale 8),
+  optional null key/values, additive attention bias (continuous position bias),
+  ALiBi for causal, PEG depthwise-conv positional encoding.
+
+* `ClipAttention` / `ClipTransformer` — CT_CLIP/ct_clip/ct_clip.py:198-286.
+  Plain scaled dot-product with fused qkv projection, f32 softmax, optional
+  rotary embedding and causal mask; used by the fallback text/vision towers.
+
+All attention math runs in f32 softmax; matmuls go through the MXU with
+`preferred_element_type=f32` semantics via jnp.einsum on f32/bf16 operands.
+Sequence lengths here are tiny (576 spatial / 24 temporal / 512 text) so plain
+XLA attention maps well onto the MXU; a Pallas fused path is provided in
+ops/pallas for the spatial stage.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .mlp import ClipFeedForward, MaskgitFeedForward
+from .norms import ClipLayerNorm, GammaLayerNorm, l2norm
+
+NEG_INF = -3.4028234663852886e38  # -torch.finfo(float32).max
+
+
+def alibi_slopes(heads: int) -> jnp.ndarray:
+    """ALiBi per-head slopes (transformer_maskgit/attention.py:203-213)."""
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(heads).is_integer():
+        s = pow2_slopes(heads)
+    else:
+        closest = 2 ** math.floor(math.log2(heads))
+        s = (pow2_slopes(closest)
+             + pow2_slopes(2 * closest)[0::2][: heads - closest])
+    return jnp.asarray(s, dtype=jnp.float32)
+
+
+def alibi_bias(heads: int, i: int, j: int) -> jnp.ndarray:
+    """(heads, i, j) ALiBi bias (attention.py:195-200): -|j_pos - i_pos| * slope
+    with the query block right-aligned against the keys."""
+    i_arange = jnp.arange(j - i, j)
+    j_arange = jnp.arange(j)
+    bias = -jnp.abs(j_arange[None, None, :] - i_arange[None, :, None])
+    return bias.astype(jnp.float32) * alibi_slopes(heads)[:, None, None]
+
+
+def relative_position_grid(dims: Tuple[int, ...], log_dist: bool = True) -> jnp.ndarray:
+    """(N, N, len(dims)) signed-log relative coordinates for an nd grid
+    (transformer_maskgit/attention.py:262-270)."""
+    axes = [jnp.arange(d) for d in dims]
+    grid = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, len(dims))
+    rel = grid[:, None, :] - grid[None, :, :]
+    rel = rel.astype(jnp.float32)
+    if log_dist:
+        rel = jnp.sign(rel) * jnp.log(jnp.abs(rel) + 1.0)
+    return rel
+
+
+class ContinuousPositionBias(nn.Module):
+    """MLP over log-distance relative coords -> per-head bias
+    (transformer_maskgit/attention.py:229-276; SwinV2 arXiv:2111.09883)."""
+
+    dim: int
+    heads: int
+    num_dims: int = 2
+    layers: int = 2
+    log_dist: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, *dimensions: int) -> jnp.ndarray:
+        rel = relative_position_grid(dimensions, self.log_dist)
+        x = rel
+        x = nn.Dense(self.dim, dtype=jnp.float32, name="net_0")(x)
+        x = nn.leaky_relu(x, negative_slope=0.1)
+        for li in range(self.layers - 1):
+            x = nn.Dense(self.dim, dtype=jnp.float32, name=f"net_{li + 1}")(x)
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        x = nn.Dense(self.heads, dtype=jnp.float32, name="net_out")(x)
+        return jnp.transpose(x, (2, 0, 1))  # (heads, N, N)
+
+
+def _sdpa(q, k, v, bias=None, mask=None, causal=False, heads_alibi=None,
+          dropout_rng=None, dropout_rate=0.0, deterministic=True):
+    """Shared softmax(QK^T + bias) V core.  q,k,v: (b, h, n, d); softmax in f32."""
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+    i, j = sim.shape[-2], sim.shape[-1]
+    if bias is not None:
+        sim = sim + bias.astype(jnp.float32)
+    if mask is not None:
+        # mask: (b, j) True = attend
+        sim = jnp.where(mask[:, None, None, :], sim, NEG_INF)
+    if causal:
+        if heads_alibi is not None:
+            sim = sim + alibi_bias(heads_alibi, i, j)[None]
+        causal_mask = jnp.triu(jnp.ones((i, j), dtype=bool), k=j - i + 1)
+        sim = jnp.where(causal_mask[None, None], NEG_INF, sim)
+    attn = jax.nn.softmax(sim, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = attn * keep / (1.0 - dropout_rate)
+    attn = attn.astype(v.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+
+class QKNormAttention(nn.Module):
+    """transformer_maskgit/attention.py:88-181."""
+
+    dim: int
+    dim_context: Optional[int] = None
+    dim_head: int = 64
+    heads: int = 8
+    causal: bool = False
+    num_null_kv: int = 0
+    norm_context: bool = True
+    dropout: float = 0.0
+    scale: float = 8.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, context=None, attn_bias=None,
+                 deterministic: bool = True):
+        b = x.shape[0]
+        h, dh = self.heads, self.dim_head
+        dim_context = self.dim_context if self.dim_context is not None else self.dim
+
+        if context is not None and self.norm_context:
+            context = GammaLayerNorm(dim_context, name="context_norm")(context)
+        kv_input = context if context is not None else x
+
+        x = GammaLayerNorm(self.dim, name="norm")(x)
+
+        q = nn.Dense(h * dh, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(h * dh * 2, use_bias=False, dtype=self.dtype, name="to_kv")(kv_input)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], h, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+
+        # null key/values: stored interleaved (h, 2*n, dh); even rows are keys,
+        # odd rows values (reference rearrange 'h (n r) d', r=2, attention.py:147-150)
+        null_kv = self.param("null_kv", nn.initializers.normal(1.0),
+                             (h, 2 * self.num_null_kv, dh))
+        if self.num_null_kv > 0:
+            nk = jnp.broadcast_to(null_kv[None, :, 0::2, :], (b, h, self.num_null_kv, dh))
+            nv = jnp.broadcast_to(null_kv[None, :, 1::2, :], (b, h, self.num_null_kv, dh))
+            k = jnp.concatenate([nk.astype(k.dtype), k], axis=-2)
+            v = jnp.concatenate([nv.astype(v.dtype), v], axis=-2)
+
+        q_scale = self.param("q_scale", nn.initializers.ones, (dh,))
+        k_scale = self.param("k_scale", nn.initializers.ones, (dh,))
+        q = l2norm(q) * q_scale.astype(q.dtype)
+        k = l2norm(k) * k_scale.astype(k.dtype)
+
+        if attn_bias is not None:
+            # pad bias over the null kv positions (attention.py:160-162)
+            attn_bias = jnp.pad(attn_bias, [(0, 0)] * (attn_bias.ndim - 1)
+                                + [(self.num_null_kv, 0)])
+            if attn_bias.ndim == 3:
+                attn_bias = attn_bias[None]
+        if mask is not None:
+            mask = jnp.pad(mask, [(0, 0), (self.num_null_kv, 0)], constant_values=True)
+
+        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        out = _sdpa(q * self.scale, k, v, bias=attn_bias, mask=mask,
+                    causal=self.causal, heads_alibi=h if self.causal else None,
+                    dropout_rng=rng, dropout_rate=self.dropout,
+                    deterministic=deterministic)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, h * dh)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+
+def apply_rotary(freqs, t):
+    """ct_clip.py:166-171 (rotate-half convention)."""
+    rot_dim = freqs.shape[-1]
+    t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
+    x1, x2 = jnp.split(t_rot, 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    t_rot = t_rot * jnp.cos(freqs) + rotated * jnp.sin(freqs)
+    return jnp.concatenate([t_rot, t_pass], axis=-1)
+
+
+def rotary_freqs(seq_len: int, dim: int) -> jnp.ndarray:
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.einsum("i,j->ij", t, inv_freq)
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+class ClipAttention(nn.Module):
+    """CT_CLIP/ct_clip/ct_clip.py:198-240 (fused qkv, f32 softmax, out LN)."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    causal: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, rotary_pos_emb=None, deterministic=True):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        qkv = nn.Dense(h * dh * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        q = q * (dh ** -0.5)
+        if rotary_pos_emb is not None:
+            # reference applies rotary to q, k AND v (ct_clip.py:217-219)
+            q, k, v = (apply_rotary(rotary_pos_emb, t) for t in (q, k, v))
+
+        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        out = _sdpa(q, k, v, mask=mask, causal=self.causal,
+                    dropout_rng=rng, dropout_rate=self.dropout,
+                    deterministic=deterministic)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        return ClipLayerNorm(self.dim, name="out_norm")(out)
+
+
+class PEG(nn.Module):
+    """Positional encoding generator: 3x3x3 depthwise conv over the (t, h, w)
+    grid with causal frame padding (transformer_maskgit/attention.py:56-84).
+
+    Input must already be shaped (b, t, h, w, d) by the caller; the reference's
+    reshape semantics (including the temporal-stage memory reinterpretation,
+    ctvit.py:299-303 + attention.py:69-70) live in the Transformer wrapper.
+    """
+
+    dim: int
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        frame_pad = (2, 0) if self.causal else (1, 1)
+        return nn.Conv(self.dim, kernel_size=(3, 3, 3), feature_group_count=self.dim,
+                       padding=(frame_pad, (1, 1), (1, 1)), use_bias=True,
+                       dtype=self.dtype, name="dsconv")(x)
+
+
+class MaskgitTransformer(nn.Module):
+    """transformer_maskgit/attention.py:280-333: [PEG?, self-attn, cross-attn?,
+    FF] x depth + final LN, all residual."""
+
+    dim: int
+    depth: int
+    dim_context: Optional[int] = None
+    causal: bool = False
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: float = 4.0
+    peg: bool = False
+    peg_causal: bool = False
+    attn_num_null_kv: int = 2
+    has_cross_attn: bool = False
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, video_shape: Optional[Tuple[int, int, int, int]] = None,
+                 attn_bias=None, context=None, self_attn_mask=None,
+                 cross_attn_context_mask=None, deterministic: bool = True):
+        for layer in range(self.depth):
+            if self.peg:
+                # Replicate reference PEG reshape: x.reshape(*video_shape, d).
+                # For the spatial stage this recovers the true (b,t,h,w,d) grid;
+                # for the temporal stage it reinterprets (b,h,w,t,d)-ordered
+                # memory as (b,t,h,w,d) — intentional parity with ctvit.py:301.
+                d = x.shape[-1]
+                grid = x.reshape(*video_shape, d)
+                peg_out = PEG(self.dim, causal=self.peg_causal, dtype=self.dtype,
+                              name=f"layers_{layer}_peg")(grid)
+                x = peg_out.reshape(x.shape) + x
+
+            x = QKNormAttention(
+                self.dim, dim_head=self.dim_head, heads=self.heads,
+                causal=self.causal, dropout=self.attn_dropout, dtype=self.dtype,
+                name=f"layers_{layer}_attn")(
+                    x, mask=self_attn_mask, attn_bias=attn_bias,
+                    deterministic=deterministic) + x
+
+            if self.has_cross_attn and context is not None:
+                x = QKNormAttention(
+                    self.dim, dim_context=self.dim_context, dim_head=self.dim_head,
+                    heads=self.heads, causal=False, num_null_kv=self.attn_num_null_kv,
+                    dropout=self.attn_dropout, dtype=self.dtype,
+                    name=f"layers_{layer}_cross_attn")(
+                        x, context=context, mask=cross_attn_context_mask,
+                        deterministic=deterministic) + x
+
+            x = MaskgitFeedForward(self.dim, mult=self.ff_mult, dropout=self.ff_dropout,
+                                   dtype=self.dtype, name=f"layers_{layer}_ff")(
+                                       x, deterministic=deterministic) + x
+
+        return GammaLayerNorm(self.dim, name="norm_out")(x)
+
+
+class ClipTransformer(nn.Module):
+    """CT_CLIP/ct_clip/ct_clip.py:242-286: PreNorm(attn)+x, PreNorm(ff)+x,
+    final norm (the fallback text/vision tower stack)."""
+
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    causal: bool = False
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    ff_mult: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rotary_pos_emb=None, mask=None, deterministic=True):
+        x = ClipLayerNorm(self.dim, name="norm_in")(x)  # ct_clip.py:278
+        for layer in range(self.depth):
+            y = ClipLayerNorm(self.dim, name=f"layers_{layer}_attn_prenorm")(x)
+            x = ClipAttention(self.dim, dim_head=self.dim_head, heads=self.heads,
+                              causal=self.causal, dropout=self.attn_dropout,
+                              dtype=self.dtype, name=f"layers_{layer}_attn")(
+                                  y, mask=mask, rotary_pos_emb=rotary_pos_emb,
+                                  deterministic=deterministic) + x
+            y = ClipLayerNorm(self.dim, name=f"layers_{layer}_ff_prenorm")(x)
+            x = ClipFeedForward(self.dim, mult=self.ff_mult, dropout=self.ff_dropout,
+                                dtype=self.dtype, name=f"layers_{layer}_ff")(
+                                    y, deterministic=deterministic) + x
+        return ClipLayerNorm(self.dim, name="norm_out")(x)

@@ -1,0 +1,87 @@
+"""Cosine-similarity vector quantizer with EMA codebook.
+
+Capability parity with `VectorQuantize(dim=512, codebook_size=8192,
+use_cosine_sim=True)` as configured at transformer_maskgit/ctvit.py:188
+(vector-quantize-pytorch cosine codebook: l2-normalized inputs and codes,
+argmax dot-product assignment, EMA cluster updates, straight-through
+estimator, MSE commitment loss).
+
+TPU mapping: the assignment is a single (N, dim) x (dim, K) matmul on the MXU
+followed by an argmax — for the production shape that is (b*13824, 512) x
+(512, 8192), ideal MXU work.  The codebook is non-trainable state in the
+"vq" flax collection, updated by EMA when `train=True`; cross-device
+reduction of the EMA statistics uses `jax.lax.psum` over the data mesh axis
+(the reference relies on per-device statistics only).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .norms import l2norm
+
+
+class CosineVQ(nn.Module):
+    dim: int
+    codebook_size: int
+    decay: float = 0.8
+    commitment_weight: float = 1.0
+    eps: float = 1e-5
+    axis_name: Optional[str] = None  # psum EMA stats over this mesh axis
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (..., dim). Returns (quantized, indices, commit_loss)."""
+        embed_init = lambda rng: l2norm(
+            jax.random.normal(rng, (self.codebook_size, self.dim), jnp.float32))
+        embed_var = self.variable("vq", "embed", embed_init, self.make_rng("params")
+                                  if self.is_initializing() else None)
+        csize_var = self.variable("vq", "cluster_size",
+                                  lambda *_: jnp.zeros((self.codebook_size,), jnp.float32),
+                                  None)
+        embed = embed_var.value
+
+        shape = x.shape
+        flat = x.reshape(-1, self.dim).astype(jnp.float32)
+        flat_n = l2norm(flat)
+        embed_n = l2norm(embed)
+
+        dist = jnp.einsum("nd,kd->nk", flat_n, embed_n,
+                          preferred_element_type=jnp.float32)
+        ind = jnp.argmax(dist, axis=-1)
+        quantize = jnp.take(embed, ind, axis=0)
+
+        if train and not self.is_initializing():
+            onehot = jax.nn.one_hot(ind, self.codebook_size, dtype=jnp.float32)
+            bins = jnp.sum(onehot, axis=0)
+            embed_sum = jnp.einsum("nd,nk->kd", flat_n, onehot,
+                                   preferred_element_type=jnp.float32)
+            if self.axis_name is not None:
+                bins = jax.lax.psum(bins, self.axis_name)
+                embed_sum = jax.lax.psum(embed_sum, self.axis_name)
+            zero_mask = bins == 0
+            safe_bins = jnp.where(zero_mask, 1.0, bins)
+            embed_normalized = l2norm(embed_sum / safe_bins[:, None])
+            embed_normalized = jnp.where(zero_mask[:, None], embed, embed_normalized)
+            new_embed = embed * self.decay + embed_normalized * (1.0 - self.decay)
+            new_csize = csize_var.value * self.decay + bins * (1.0 - self.decay)
+            # EMA state must not carry gradients
+            embed_var.value = jax.lax.stop_gradient(new_embed)
+            csize_var.value = jax.lax.stop_gradient(new_csize)
+
+        quantize = quantize.reshape(shape).astype(x.dtype)
+        # straight-through estimator + commitment loss
+        commit_loss = jnp.mean(
+            (jax.lax.stop_gradient(quantize.astype(jnp.float32))
+             - x.astype(jnp.float32)) ** 2) * self.commitment_weight
+        quantize = x + jax.lax.stop_gradient(quantize - x)
+        ind = ind.reshape(shape[:-1])
+        return quantize, ind, commit_loss
+
+    @staticmethod
+    def lookup(embed: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+        """Codebook lookup for decode_from_codebook_indices (ctvit.py:274-276)."""
+        return jnp.take(embed, indices, axis=0)

@@ -1,0 +1,69 @@
+"""Device mesh construction and sharding rules.
+
+The reference's distribution story is HF accelerate DDP/FSDP over NCCL
+(scripts/CTCLIPTrainer.py:138-140, scripts/README.md:16-26).  The TPU-native
+equivalent is a single jax.sharding.Mesh with a `data` axis (batch sharding;
+gradient psum inserted by XLA) and an optional `model` axis used to shard the
+294912x512 visual-latent projection and the attention-head dimension.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()` and the
+same code runs over ICI within a slice / DCN across slices — collectives are
+chosen by XLA from the device assignment, not by us (scaling-book recipe).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(1, cfg.model_parallel_size)
+    assert n % mp == 0, f"{n} devices not divisible by model_parallel_size={mp}"
+    arr = np.asarray(devices).reshape(n // mp, mp)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+def batch_sharding(mesh: Mesh, cfg: MeshConfig = MeshConfig()) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(cfg.data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding_rules(path_str: str, cfg: MeshConfig) -> P:
+    """Parameter partition specs.  Everything is replicated except the two
+    huge visual-latent projections (294912 x 512 = 150M params each,
+    ct_clip.py:564), whose input dim is sharded over `model`."""
+    if "to_visual_latent" in path_str and "kernel" in path_str:
+        return P(cfg.model_axis, None)
+    return P()
+
+
+def shard_params(params, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
+    """Apply param_sharding_rules across a pytree of parameters."""
+    def place(path, leaf):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = param_sharding_rules(path_str, cfg)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def param_shardings(params, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
+    """Like shard_params but returns the NamedSharding pytree (for jit
+    in_shardings/out_shardings)."""
+    def spec(path, _):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        return NamedSharding(mesh, param_sharding_rules(path_str, cfg))
+
+    return jax.tree_util.tree_map_with_path(spec, params)

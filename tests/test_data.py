@@ -1,0 +1,155 @@
+"""Data layer tests: NIfTI round-trip, WordPiece parity vs HF BertTokenizer,
+dataset CSV wiring, loader bucketing."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from ct_clip_tpu.data import (CTReportDataset, CTReportDatasetInfer,
+                              VolumeLoader, WordPieceTokenizer, bucket_shape,
+                              load_header, parse_xy_spacing, read_volume,
+                              write_volume)
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "pleural", "effusion", "is", "present", "not", "no", "lung",
+         "##s", "##ion", "nodule", "opacity", "the", "in", "right", "left",
+         "atelectasis", ",", ".", "-", "un", "##remarkable", "chest", "ct"]
+
+
+@pytest.fixture
+def vocab_file(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return str(p)
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    vol = rng.randint(-1024, 3000, size=(31, 27, 19)).astype(np.int16)
+    for name in ["a.nii", "b.nii.gz"]:
+        path = tmp_path / name
+        write_volume(path, vol, pixdim=(0.7, 0.7, 1.5))
+        back, hdr = read_volume(path)
+        np.testing.assert_array_equal(back, vol.astype(np.float32))
+        assert hdr.shape == (31, 27, 19)
+        np.testing.assert_allclose(hdr.pixdim, (0.7, 0.7, 1.5), rtol=1e-6)
+
+
+def test_nifti_big_endian_and_scaling(tmp_path):
+    """Construct a big-endian file with scl_slope/inter by byte surgery."""
+    import struct
+    vol = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    path = tmp_path / "be.nii"
+    write_volume(path, vol)
+    raw = bytearray(path.read_bytes())
+    struct.pack_into("<2f", raw, 112, 2.0, -5.0)  # slope 2, inter -5
+    path.write_bytes(bytes(raw))
+    back, hdr = read_volume(path)
+    np.testing.assert_allclose(back, vol * 2.0 - 5.0)
+
+
+def test_wordpiece_matches_hf_bert_tokenizer(vocab_file):
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file=vocab_file, do_lower_case=True)
+    ours = WordPieceTokenizer(vocab_file)
+
+    texts = [
+        "Pleural effusion is present.",
+        "Pleural effusion is not present.",
+        "No lungs nodules, unremarkable chest CT - in the right lung.",
+        "atelectasISno",   # forces [UNK]
+        "",
+    ]
+    for text in texts:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+
+    enc_hf = hf(texts, padding="max_length", truncation=True, max_length=16)
+    enc = ours(texts, padding="max_length", truncation=True, max_length=16)
+    np.testing.assert_array_equal(enc["input_ids"], np.asarray(enc_hf["input_ids"]))
+    np.testing.assert_array_equal(enc["attention_mask"],
+                                  np.asarray(enc_hf["attention_mask"]))
+
+
+def test_parse_xy_spacing():
+    assert parse_xy_spacing("[0.75, 0.75]") == 0.75
+    assert parse_xy_spacing("[1.25, 1.25]") == 1.25
+
+
+def _make_dataset(tmp_path, n=3, with_labels=False):
+    import csv
+    data_dir = tmp_path / "data"
+    rows, meta_rows, label_rows = [], [], []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        name = f"vol_{i}.nii.gz"
+        d = data_dir / f"patient{i}" / f"acc{i}"
+        d.mkdir(parents=True)
+        vol = rng.randint(0, 500, size=(12, 14, 10)).astype(np.int16)
+        write_volume(d / name, vol)
+        rows.append({"VolumeName": name,
+                     "Findings_EN": f'Findings "for" (volume) {i}',
+                     "Impressions_EN": f"Impression {i}"})
+        meta_rows.append({"VolumeName": name, "RescaleSlope": "1.0",
+                          "RescaleIntercept": "-1024.0",
+                          "XYSpacing": "[0.8, 0.8]", "ZSpacing": "1.2"})
+        if with_labels:
+            from ct_clip_tpu.config import PATHOLOGIES
+            row = {"VolumeName": name}
+            row.update({p: str(i % 2) for p in PATHOLOGIES})
+            label_rows.append(row)
+
+    def write_csv(path, rows):
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+
+    write_csv(tmp_path / "reports.csv", rows)
+    write_csv(tmp_path / "meta.csv", meta_rows)
+    if with_labels:
+        write_csv(tmp_path / "labels.csv", label_rows)
+    return str(data_dir), str(tmp_path / "reports.csv"), str(tmp_path / "meta.csv"), \
+        str(tmp_path / "labels.csv") if with_labels else None
+
+
+def test_ct_report_dataset(tmp_path):
+    data, reports, meta, _ = _make_dataset(tmp_path, n=3)
+    ds = CTReportDataset(data, reports, meta, percent=100)
+    assert len(ds) == 3
+    vol, m = ds.read_raw(0)
+    assert vol.shape == (10, 12, 14)  # (Z, X, Y) from (X, Y, Z) file
+    assert m.spacing_zxy == (1.2, 0.8, 0.8)
+    # quote/paren stripping (data.py:165-173)
+    assert m.text == "Findings for volume 0"
+    # 80% subsample keeps floor(3*0.8)=2
+    ds80 = CTReportDataset(data, reports, meta, percent=80)
+    assert len(ds80) == 2
+
+
+def test_infer_dataset_labels_and_loader(tmp_path):
+    data, reports, meta, labels = _make_dataset(tmp_path, n=4, with_labels=True)
+    ds = CTReportDatasetInfer(data, reports, meta, labels)
+    assert len(ds) == 4
+    assert ds.samples[1].labels.shape == (18,)
+    assert ds.samples[1].labels.sum() == 18  # i=1 -> all ones
+    assert ds.samples[0].accession == "vol_0"
+
+    loader = VolumeLoader(ds, num_workers=2, prefetch=2)
+    seen = list(loader)
+    assert len(seen) == 4
+    s = seen[0]
+    assert s.vol.shape == bucket_shape((10, 12, 14))
+    assert tuple(s.true_sizes) == (10, 12, 14)
+    assert s.vol[: 10, : 12, : 14].sum() != 0
+
+
+def test_loader_infinite_cycles(tmp_path):
+    data, reports, meta, _ = _make_dataset(tmp_path, n=2)
+    ds = CTReportDataset(data, reports, meta, percent=100)
+    loader = VolumeLoader(ds, num_workers=1, prefetch=1, shuffle=True,
+                          infinite=True)
+    it = iter(loader)
+    got = [next(it).meta.accession for _ in range(5)]
+    assert len(got) == 5

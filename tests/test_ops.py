@@ -1,0 +1,213 @@
+"""Unit tests for core ops against independent torch/numpy references."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from ct_clip_tpu.ops import (CosineVQ, GammaLayerNorm, ClipLayerNorm,
+                             StandardLayerNorm, QKNormAttention,
+                             ContinuousPositionBias, MaskgitTransformer,
+                             alibi_bias, geglu, l2norm)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 7, 32).astype(np.float32)
+    gamma = rng.randn(32).astype(np.float32)
+    beta = rng.randn(32).astype(np.float32)
+
+    ref = TF.layer_norm(torch.tensor(x), (32,), torch.tensor(gamma),
+                        torch.tensor(beta)).numpy()
+    m = StandardLayerNorm(32)
+    params = {"params": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)}}
+    out = m.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # gamma-only variant == torch layer_norm with zero bias
+    ref2 = TF.layer_norm(torch.tensor(x), (32,), torch.tensor(gamma)).numpy()
+    out2 = GammaLayerNorm(32).apply({"params": {"gamma": jnp.asarray(gamma)}},
+                                    jnp.asarray(x))
+    np.testing.assert_allclose(out2, ref2, atol=1e-5)
+
+    # clip variant (hand-rolled biased-var form) agrees in f32
+    out3 = ClipLayerNorm(32).apply({"params": {"g": jnp.asarray(gamma)}},
+                                   jnp.asarray(x))
+    np.testing.assert_allclose(out3, ref2, atol=1e-5)
+
+
+def test_geglu_matches_torch():
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 5, 16).astype(np.float32)
+    xt = torch.tensor(x)
+    val, gate = xt.chunk(2, dim=-1)
+    ref = (val * TF.gelu(gate)).numpy()
+    out = geglu(jnp.asarray(x))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_l2norm_matches_torch():
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 9).astype(np.float32)
+    ref = TF.normalize(torch.tensor(x), dim=-1).numpy()
+    np.testing.assert_allclose(l2norm(jnp.asarray(x)), ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("heads", [8, 6])
+def test_alibi_slopes_and_bias(heads):
+    import math
+
+    def ref_slopes(h):
+        def p2(n):
+            start = 2 ** (-2 ** -(math.log2(n) - 3))
+            return [start * start ** i for i in range(n)]
+        if math.log2(h).is_integer():
+            return p2(h)
+        c = 2 ** math.floor(math.log2(h))
+        return p2(c) + p2(2 * c)[0::2][: h - c]
+
+    i, j = 5, 9
+    bias = np.asarray(alibi_bias(heads, i, j))
+    assert bias.shape == (heads, i, j)
+    slopes = ref_slopes(heads)
+    # spot check: bias[h, a, b] = -|b - (j - i + a)| * slope[h]
+    for h in range(heads):
+        for a in range(i):
+            for b in range(j):
+                expect = -abs(b - (j - i + a)) * slopes[h]
+                assert abs(bias[h, a, b] - expect) < 1e-6
+
+
+def _np_qknorm_attention(x, params, heads, dim_head, scale=8.0, bias=None):
+    """Independent numpy reference of transformer_maskgit attention semantics."""
+    def ln(v, g):
+        mu = v.mean(-1, keepdims=True)
+        var = v.var(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-5) * g
+
+    def l2n(v):
+        return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+    p = params
+    xn = ln(x, p["norm"]["gamma"])
+    q = xn @ p["to_q"]["kernel"]
+    # reference quirk: to_kv sees the PRE-norm input for self-attention
+    # (kv_input captured before x = self.norm(x), attention.py:136-141)
+    kv = x @ p["to_kv"]["kernel"]
+    k, v = np.split(kv, 2, axis=-1)
+    b, n, _ = x.shape
+
+    def heads_split(t):
+        return t.reshape(b, n, heads, dim_head).transpose(0, 2, 1, 3)
+
+    q, k, v = map(heads_split, (q, k, v))
+    q = l2n(q) * p["q_scale"]
+    k = l2n(k) * p["k_scale"]
+    sim = np.einsum("bhid,bhjd->bhij", q, k) * scale
+    if bias is not None:
+        sim = sim + bias
+    attn = np.exp(sim - sim.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    out = np.einsum("bhij,bhjd->bhid", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+    return out @ p["to_out"]["kernel"]
+
+
+def test_qknorm_attention_matches_numpy_reference():
+    rng = np.random.RandomState(3)
+    dim, heads, dim_head, n, b = 32, 4, 8, 6, 2
+    x = rng.randn(b, n, dim).astype(np.float32)
+    m = QKNormAttention(dim, dim_head=dim_head, heads=heads)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # randomize scales so the test is non-trivial
+    p = jax.tree.map(lambda a: a, params["params"])
+    p["q_scale"] = jnp.asarray(rng.rand(dim_head).astype(np.float32) + 0.5)
+    p["k_scale"] = jnp.asarray(rng.rand(dim_head).astype(np.float32) + 0.5)
+    out = m.apply({"params": p}, jnp.asarray(x))
+    ref = _np_qknorm_attention(x, jax.tree.map(np.asarray, p), heads, dim_head)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_continuous_position_bias_manual():
+    dim, heads = 16, 4
+    m = ContinuousPositionBias(dim=dim, heads=heads, num_dims=2)
+    h = w = 3
+    params = m.init(jax.random.PRNGKey(0), h, w)
+    out = m.apply(params, h, w)
+    assert out.shape == (heads, h * w, h * w)
+
+    # manual forward: signed-log rel coords through the MLP
+    p = jax.tree.map(np.asarray, params["params"])
+    grid = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"),
+                    axis=-1).reshape(-1, 2)
+    rel = (grid[:, None, :] - grid[None, :, :]).astype(np.float32)
+    rel = np.sign(rel) * np.log(np.abs(rel) + 1)
+
+    def lrelu(v):
+        return np.where(v > 0, v, 0.1 * v)
+
+    y = lrelu(rel @ p["net_0"]["kernel"] + p["net_0"]["bias"])
+    y = lrelu(y @ p["net_1"]["kernel"] + p["net_1"]["bias"])
+    y = y @ p["net_out"]["kernel"] + p["net_out"]["bias"]
+    ref = y.transpose(2, 0, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_cosine_vq_roundtrip_and_ema():
+    rng = np.random.RandomState(4)
+    dim, K = 16, 32
+    x = rng.randn(4, 10, dim).astype(np.float32)
+    m = CosineVQ(dim=dim, codebook_size=K, decay=0.8)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    embed0 = np.asarray(variables["vq"]["embed"])
+    # codebook initialized unit-norm
+    np.testing.assert_allclose(np.linalg.norm(embed0, axis=-1), 1.0, atol=1e-5)
+
+    quant, ind, commit = m.apply(variables, jnp.asarray(x))
+    assert quant.shape == x.shape and ind.shape == x.shape[:-1]
+    # eval path: quantize == embed[ind] exactly (straight-through adds x - x)
+    np.testing.assert_allclose(np.asarray(quant), embed0[np.asarray(ind)], atol=1e-5)
+    # assignment is argmax cosine similarity
+    xn = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    expect_ind = (xn.reshape(-1, dim) @ embed0.T).argmax(-1).reshape(ind.shape)
+    np.testing.assert_array_equal(np.asarray(ind), expect_ind)
+    assert commit > 0
+
+    # training updates EMA stats
+    (_, _, _), updates = m.apply(variables, jnp.asarray(x), train=True,
+                                 mutable=["vq"])
+    embed1 = np.asarray(updates["vq"]["embed"])
+    assert not np.allclose(embed1, embed0)
+    # untouched codes decay toward themselves (unchanged), used codes move
+    used = np.unique(np.asarray(ind))
+    unused = np.setdiff1d(np.arange(K), used)
+    np.testing.assert_allclose(embed1[unused], embed0[unused], atol=1e-6)
+
+
+def test_vq_gradient_is_straight_through():
+    dim, K = 8, 16
+    m = CosineVQ(dim=dim, codebook_size=K)
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 3, dim).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def f(x):
+        q, _, _ = m.apply(variables, x)
+        return jnp.sum(q * 2.0)
+
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), 2.0 * np.ones_like(x), atol=1e-6)
+
+
+def test_maskgit_transformer_shapes_and_peg_residual():
+    dim, depth = 32, 2
+    b, t, h, w = 2, 3, 4, 4
+    m = MaskgitTransformer(dim=dim, depth=depth, heads=4, dim_head=8,
+                           peg=True, peg_causal=True)
+    x = jnp.asarray(np.random.RandomState(6).randn(b * t, h * w, dim)
+                    .astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x, video_shape=(b, t, h, w))
+    out = m.apply(params, x, video_shape=(b, t, h, w))
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,112 @@
+"""Golden tests: fused device preprocessing vs the reference's torch pipeline
+semantics (re-implemented here independently from SURVEY.md §2.3 / the
+documented ordering, using torch CPU as the oracle for F.interpolate)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax.numpy as jnp
+
+from ct_clip_tpu.ops import preprocess_batch, preprocess_volume
+
+
+def torch_reference_pipeline(vol_xyz, z_spacing, xy_spacing, slope, intercept,
+                             clip_before=False):
+    """Reference semantics (scripts/data.py:92-162 / data_inference_nii.py:96-165):
+    rescale -> [clip] -> transpose (2,0,1) -> trilinear resample to target
+    spacing -> [clip] -> /1000 -> transpose back -> center crop/pad (480,480,240)
+    pad -1 -> permute (2,0,1)."""
+    img = slope * vol_xyz.astype(np.float64) + intercept
+    if clip_before:
+        img = np.clip(img, -1000, 1000)
+    img = img.transpose(2, 0, 1)  # (Z, X, Y)
+    t = torch.tensor(img)[None, None]
+    current = (z_spacing, xy_spacing, xy_spacing)
+    target = (1.5, 0.75, 0.75)
+    new_shape = [int(t.shape[2 + i] * current[i] / target[i]) for i in range(3)]
+    t = TF.interpolate(t, size=new_shape, mode="trilinear", align_corners=False)
+    img = t[0, 0].numpy().transpose(1, 2, 0)  # (X', Y', Z')
+    if not clip_before:
+        img = np.clip(img, -1000, 1000)
+    img = (img / 1000).astype(np.float32)
+
+    t = torch.tensor(img)
+    h, w, d = t.shape
+    dh, dw, dd = 480, 480, 240
+    hs, ws, ds = max((h - dh) // 2, 0), max((w - dw) // 2, 0), max((d - dd) // 2, 0)
+    t = t[hs:min(hs + dh, h), ws:min(ws + dw, w), ds:min(ds + dd, d)]
+    ph = (dh - t.shape[0]) // 2
+    pw = (dw - t.shape[1]) // 2
+    pd = (dd - t.shape[2]) // 2
+    t = TF.pad(t, (pd, dd - t.shape[2] - pd, pw, dw - t.shape[1] - pw,
+                   ph, dh - t.shape[0] - ph), value=-1)
+    return t.permute(2, 0, 1).numpy()  # (240, 480, 480)
+
+
+@pytest.mark.parametrize("shape,z_sp,xy_sp,clip_before", [
+    ((50, 64, 40), 3.0, 1.4, False),   # upsample z, downsample-ish xy
+    ((50, 64, 40), 3.0, 1.4, True),    # infer ordering
+    ((30, 32, 36), 1.0, 0.5, False),   # downsample both
+    ((40, 48, 44), 1.5, 0.75, False),  # identity spacing
+])
+def test_fused_preprocess_matches_torch(shape, z_sp, xy_sp, clip_before):
+    rng = np.random.RandomState(7)
+    # raw values roughly CT-like after rescale
+    vol_xyz = rng.randint(-100, 3000, size=shape).astype(np.float32)
+    slope, intercept = 1.0, -1024.0
+
+    ref = torch_reference_pipeline(vol_xyz, z_sp, xy_sp, slope, intercept,
+                                   clip_before)
+
+    vol_zxy = vol_xyz.transpose(2, 0, 1)
+    out = preprocess_volume(
+        jnp.asarray(vol_zxy), jnp.asarray([z_sp, xy_sp, xy_sp], jnp.float32),
+        jnp.float32(slope), jnp.float32(intercept),
+        clip_before_resample=clip_before)
+    out = np.asarray(out)
+    assert out.shape == (240, 480, 480)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_preprocess_batch_vmaps_per_volume_metadata():
+    rng = np.random.RandomState(8)
+    vols = rng.randint(0, 2000, size=(2, 20, 24, 16)).astype(np.float32)
+    spacings = np.array([[3.0, 1.0, 1.0], [2.0, 1.5, 1.5]], np.float32)
+    slopes = np.array([1.0, 2.0], np.float32)
+    intercepts = np.array([-1024.0, 0.0], np.float32)
+    out = preprocess_batch(jnp.asarray(vols), jnp.asarray(spacings),
+                           jnp.asarray(slopes), jnp.asarray(intercepts))
+    assert out.shape == (2, 240, 480, 480)
+    for i in range(2):
+        ref = torch_reference_pipeline(vols[i].transpose(1, 2, 0),
+                                       spacings[i][0], spacings[i][1],
+                                       slopes[i], intercepts[i])
+        np.testing.assert_allclose(np.asarray(out[i]), ref, atol=2e-5)
+
+
+def test_shape_bucketing_with_true_sizes():
+    """Padding the raw volume to a bucket shape + passing true_sizes must give
+    the identical result as the exact-shape call (no recompiles per shape)."""
+    rng = np.random.RandomState(9)
+    vol = rng.randint(0, 2000, size=(37, 41, 29)).astype(np.float32)
+    sp = jnp.asarray([2.0, 1.0, 1.0], jnp.float32)
+    exact = preprocess_volume(jnp.asarray(vol), sp, jnp.float32(1.0),
+                              jnp.float32(-1024.0))
+    padded = np.zeros((48, 48, 32), np.float32)
+    padded[:37, :41, :29] = vol
+    bucketed = preprocess_volume(jnp.asarray(padded), sp, jnp.float32(1.0),
+                                 jnp.float32(-1024.0),
+                                 true_sizes=jnp.asarray([37, 41, 29], jnp.int32))
+    np.testing.assert_allclose(np.asarray(bucketed), np.asarray(exact), atol=1e-6)
+
+
+def test_pad_regions_are_minus_one():
+    vol = np.full((10, 12, 8), 500.0, np.float32)
+    out = np.asarray(preprocess_volume(
+        jnp.asarray(vol), jnp.asarray([1.5, 0.75, 0.75], jnp.float32),
+        jnp.float32(1.0), jnp.float32(0.0)))
+    # tiny volume -> mostly padding
+    assert (out == -1.0).mean() > 0.9
+    center = out[120, 240, 240]
+    assert abs(center - 0.5) < 1e-5
