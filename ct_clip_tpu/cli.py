@@ -1,0 +1,200 @@
+"""Command-line entry points (reference L6: scripts/run_train.py,
+run_zero_shot.py, run_forward_data.py, ct_vocabfine_train.py,
+ct_lipro_train.py, ct_lipro_inference.py, text_classifier/{train,infer,eval}
+— which are edit-the-source configs; here: one typed config + CLI flags).
+
+Usage:
+  python -m ct_clip_tpu.cli train      --data-train ... --reports-train ...
+  python -m ct_clip_tpu.cli zero-shot  --data ... --labels ... --ckpt ...
+  python -m ct_clip_tpu.cli export-latents ...
+  python -m ct_clip_tpu.cli lipro-train / lipro-infer ...
+  python -m ct_clip_tpu.cli vocabfine ...
+  python -m ct_clip_tpu.cli radbert-train / radbert-infer ...
+  python -m ct_clip_tpu.cli bootstrap  --predicted ... --labels ...
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _common_model(args):
+    import jax.numpy as jnp
+
+    from .config import CTCLIPConfig
+    from .models import CTCLIP
+
+    cfg = CTCLIPConfig()
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = CTCLIP(cfg, dtype=dtype)
+    return cfg, model
+
+
+def _load_variables(args, cfg, model):
+    if args.ckpt and args.ckpt.endswith(".pt"):
+        from .convert.torch_to_jax import load_ctclip_checkpoint
+
+        return load_ctclip_checkpoint(args.ckpt, cfg)
+    if args.ckpt:
+        from .train.checkpoint import load_variables
+
+        return load_variables(args.ckpt)
+    import jax
+    import jax.numpy as jnp
+
+    print("[warn] no --ckpt given; random init", file=sys.stderr)
+    ids = jnp.zeros((1, 512), jnp.int32)
+    video = jnp.zeros((1, cfg.ctvit.num_frames, cfg.ctvit.image_size,
+                       cfg.ctvit.image_size, 1))
+    return model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids), video,
+                      return_loss=False, return_latents=True)
+
+
+def _tokenizer(args):
+    from .data import load_tokenizer
+
+    return load_tokenizer(vocab_path=args.vocab)
+
+
+def cmd_train(args):
+    from .config import TrainConfig
+    from .data import CTReportDataset, CTReportDatasetInfer
+    from .train import CTClipTrainer
+
+    cfg, model = _common_model(args)
+    tok = _tokenizer(args)
+    train_ds = CTReportDataset(args.data_train, args.reports_train,
+                               args.meta_train)
+    valid_ds = None
+    if args.data_valid:
+        valid_ds = CTReportDatasetInfer(args.data_valid, args.reports_valid,
+                                        args.meta_valid, args.labels)
+    tcfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
+                       num_train_steps=args.steps)
+    trainer = CTClipTrainer(model, tok, train_dataset=train_ds,
+                            valid_dataset=valid_ds, config=tcfg,
+                            results_folder=args.results,
+                            num_workers=args.workers)
+    if args.resume:
+        trainer.load()
+    trainer.train()
+
+
+def cmd_zero_shot(args):
+    from .data import CTReportDatasetInfer
+    from .inference import run_zero_shot
+
+    cfg, model = _common_model(args)
+    variables = _load_variables(args, cfg, model)
+    tok = _tokenizer(args)
+    ds = CTReportDatasetInfer(args.data, args.reports, args.meta, args.labels)
+    out = run_zero_shot(model, variables, tok, ds, args.results,
+                        batch_size=args.batch_size, num_workers=args.workers)
+    print(f"scored {len(out['accessions'])} volumes -> {args.results}")
+
+
+def cmd_export_latents(args):
+    from .data import CTReportDatasetInfer
+    from .inference.latents import export_latents
+
+    cfg, model = _common_model(args)
+    variables = _load_variables(args, cfg, model)
+    tok = _tokenizer(args)
+    ds = CTReportDatasetInfer(args.data, args.reports, args.meta, args.labels)
+    export_latents(model, variables, tok, ds, args.results,
+                   num_workers=args.workers)
+
+
+def cmd_bootstrap(args):
+    from .config import PATHOLOGIES
+    from .evals import bootstrap_report
+
+    predicted = np.load(args.predicted)["data"]
+    labels = np.load(args.labels)["data"]
+    tables = bootstrap_report(predicted, labels, list(PATHOLOGIES),
+                              n_samples=args.samples)
+    out = Path(args.results)
+    out.mkdir(parents=True, exist_ok=True)
+    for name, df in tables.items():
+        df.to_csv(out / f"bootstrap_{name}.csv", index=False)
+    print(f"wrote bootstrap tables to {out}")
+
+
+def cmd_radbert_train(args):
+    from .config import RadBertConfig
+    from .models import RadBertClassifier
+    from .train.text_classifier import (ReportClassificationDataset,
+                                        TextClassifierTrainer)
+
+    tok = _tokenizer(args)
+    cfg = RadBertConfig(vocab_size=tok.vocab_size)
+    trainer = TextClassifierTrainer(RadBertClassifier(cfg), tok, lr=args.lr,
+                                    batch_size=args.batch_size)
+    train_ds = ReportClassificationDataset(args.reports,
+                                           augment_prob=args.augment)
+    valid_ds = (ReportClassificationDataset(args.reports_valid)
+                if args.reports_valid else None)
+    result = trainer.train(train_ds, valid_ds, epochs=args.epochs)
+    print(f"best loss {result['best_loss']:.4f}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("ct_clip_tpu")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--vocab", help="CXR-BERT vocab.txt path")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--data-train", required=True)
+    t.add_argument("--reports-train", required=True)
+    t.add_argument("--meta-train", required=True)
+    t.add_argument("--data-valid"); t.add_argument("--reports-valid")
+    t.add_argument("--meta-valid"); t.add_argument("--labels")
+    t.add_argument("--results", default="results")
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--lr", type=float, default=1.25e-6)
+    t.add_argument("--steps", type=int, default=100001)
+    t.add_argument("--workers", type=int, default=8)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    z = sub.add_parser("zero-shot")
+    z.add_argument("--data", required=True); z.add_argument("--reports", required=True)
+    z.add_argument("--meta", required=True); z.add_argument("--labels", required=True)
+    z.add_argument("--ckpt"); z.add_argument("--results", default="inference_zeroshot")
+    z.add_argument("--batch-size", type=int, default=4)
+    z.add_argument("--workers", type=int, default=8)
+    z.set_defaults(fn=cmd_zero_shot)
+
+    e = sub.add_parser("export-latents")
+    for name in ["--data", "--reports", "--meta", "--labels"]:
+        e.add_argument(name, required=True)
+    e.add_argument("--ckpt"); e.add_argument("--results", default="latents")
+    e.add_argument("--workers", type=int, default=8)
+    e.set_defaults(fn=cmd_export_latents)
+
+    b = sub.add_parser("bootstrap")
+    b.add_argument("--predicted", required=True)
+    b.add_argument("--labels", required=True)
+    b.add_argument("--results", default="bootstrap")
+    b.add_argument("--samples", type=int, default=1000)
+    b.set_defaults(fn=cmd_bootstrap)
+
+    r = sub.add_parser("radbert-train")
+    r.add_argument("--reports", required=True)
+    r.add_argument("--reports-valid")
+    r.add_argument("--lr", type=float, default=2e-5)
+    r.add_argument("--batch-size", type=int, default=32)
+    r.add_argument("--epochs", type=int, default=10)
+    r.add_argument("--augment", type=float, default=0.0)
+    r.set_defaults(fn=cmd_radbert_train)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,8 +81,10 @@ def _maskgit_attention(sd: Mapping, key: str, num_null_kv: int = 0) -> Dict:
         "to_out": _linear(sd, f"{key}.to_out", bias=False),
         "q_scale": _np(sd[f"{key}.q_scale"]),
         "k_scale": _np(sd[f"{key}.k_scale"]),
-        "null_kv": _np(sd[f"{key}.null_kv"]),
     }
+    null_kv = _np(sd[f"{key}.null_kv"])
+    if null_kv.size > 0:
+        out["null_kv"] = null_kv
     if f"{key}.context_norm.gamma" in sd:
         out["context_norm"] = {"gamma": _np(sd[f"{key}.context_norm.gamma"])}
     return out
@@ -138,9 +140,12 @@ def ctvit_params_from_torch(sd: Mapping, cfg: CTViTConfig,
     p = prefix
     ln_in = _ln(sd, f"{p}to_patch_emb.1")
     ln_out = _ln(sd, f"{p}to_patch_emb.3")
+    proj = _linear(sd, f"{p}to_patch_emb.2")
     params: Dict = {
-        "patch_norm_in": {"scale": ln_in[0], "bias": ln_in[1]},
-        "patch_proj": _linear(sd, f"{p}to_patch_emb.2"),
+        "patch_norm_in_scale": ln_in[0],
+        "patch_norm_in_bias": ln_in[1],
+        "patch_proj_kernel": proj["kernel"],
+        "patch_proj_bias": proj["bias"],
         "patch_norm_out": {"scale": ln_out[0], "bias": ln_out[1]},
         "spatial_rel_pos_bias": _cpb(sd, f"{p}spatial_rel_pos_bias"),
         "enc_spatial_transformer": maskgit_transformer_from_torch(
@@ -172,10 +177,16 @@ def ctclip_params_from_torch(sd: Mapping, cfg: CTCLIPConfig) -> Dict:
         "visual_transformer": vit_params,
         "to_text_latent": _linear(sd, "to_text_latent", bias=False),
         "to_visual_latent": _linear(sd, "to_visual_latent", bias=False),
-        "to_text_latent_extra": _linear(sd, "to_text_latent_extra", bias=False),
-        "to_visual_latent_extra": _linear(sd, "to_visual_latent_extra", bias=False),
         "temperature": _np(sd["temperature"]).reshape(()),
     }
+    # CLOOB extra projections exist in every reference checkpoint
+    # (ct_clip.py:580-582 deep copies) but are flax params only when the
+    # model actually uses them.
+    if cfg.extra_latent_projection:
+        params["to_text_latent_extra"] = _linear(sd, "to_text_latent_extra",
+                                                 bias=False)
+        params["to_visual_latent_extra"] = _linear(sd, "to_visual_latent_extra",
+                                                   bias=False)
     return {"params": params, "vq": {"visual_transformer": vq_state}}
 
 

@@ -86,7 +86,23 @@ def read_volume(path: str | Path, apply_scaling: bool = True,
                 dtype=np.float32) -> Tuple[np.ndarray, NiftiHeader]:
     """Returns (volume, header); volume shape = header.shape in Fortran
     (x-fastest) order, matching nibabel's array layout.  With apply_scaling,
-    values are scl_slope * raw + scl_inter when slope != 0 (get_fdata)."""
+    values are scl_slope * raw + scl_inter when slope != 0 (get_fdata).
+
+    Uses the native C++ decoder (ct_clip_tpu/native) when built; pure-numpy
+    fallback otherwise."""
+    if apply_scaling and dtype == np.float32:
+        try:
+            from ..native import read_volume_native
+
+            native = read_volume_native(str(path))
+        except Exception:  # noqa: BLE001 - any native failure falls back
+            native = None
+        if native is not None:
+            vol, pixdim, slope, inter = native
+            hdr = NiftiHeader(shape=vol.shape, dtype=np.dtype(np.float32),
+                              pixdim=pixdim, scl_slope=slope, scl_inter=inter,
+                              vox_offset=HEADER_SIZE + 4, byteorder="<")
+            return vol, hdr
     raw = _read_bytes(path)
     hdr = _read_header(raw[:HEADER_SIZE])
     count = int(np.prod(hdr.shape))

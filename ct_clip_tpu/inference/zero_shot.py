@@ -1,0 +1,153 @@
+"""Zero-shot 18-pathology classification.
+
+Protocol parity with scripts/zero_shot.py:106-171: for each pathology, score
+the prompt pair ("{p} is present.", "{p} is not present.") against the
+volume and softmax over the pair; P(present) = probs[0].
+
+TPU-native redesign (the reference reruns the image tower 18x per volume and
+re-encodes all prompts per volume, SURVEY.md §3.2):
+  1. encode all 36 prompts ONCE -> (18, 2, dim_latent) cached latents;
+  2. encode each volume ONCE, in batches of B volumes per jit step;
+  3. logits = image_latents @ prompt_latents^T * temp — one (B, 512) x
+     (512, 36) matmul; softmax over each pair.
+Per-volume work drops from 18 tower passes to 1/B of a batched pass.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PATHOLOGIES, CTCLIPConfig
+from ..models.ctclip import CTCLIP
+from ..ops.resample import preprocess_volume
+
+
+def pathology_prompts(pathologies: Sequence[str] = PATHOLOGIES) -> List[str]:
+    """36 prompts, ordered [p0 present, p0 absent, p1 present, ...]
+    (zero_shot.py:134)."""
+    out = []
+    for p in pathologies:
+        out.append(f"{p} is present.")
+        out.append(f"{p} is not present.")
+    return out
+
+
+class ZeroShotClassifier:
+    """Caches prompt latents; scores batched volumes.
+
+    model/variables: a CTCLIP flax module + its {'params','vq'} variables.
+    tokenizer: HF-call-compatible (data.tokenizer.WordPieceTokenizer).
+    """
+
+    def __init__(self, model: CTCLIP, variables: Dict, tokenizer,
+                 pathologies: Sequence[str] = PATHOLOGIES,
+                 max_text_len: int = 512):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.pathologies = list(pathologies)
+        self.max_text_len = max_text_len
+        self._prompt_latents = None
+
+        self._encode_image = jax.jit(
+            lambda vars_, video: model.apply(vars_, video,
+                                             method=CTCLIP.encode_image))
+        self._encode_text = jax.jit(
+            lambda vars_, ids, mask: model.apply(vars_, ids, mask,
+                                                 method=CTCLIP.encode_text))
+
+    def prompt_latents(self) -> jnp.ndarray:
+        """(num_pathologies, 2, dim_latent), computed once."""
+        if self._prompt_latents is None:
+            enc = self.tokenizer(pathology_prompts(self.pathologies),
+                                 padding="max_length", truncation=True,
+                                 max_length=self.max_text_len)
+            lat = self._encode_text(self.variables,
+                                    jnp.asarray(enc["input_ids"]),
+                                    jnp.asarray(enc["attention_mask"]))
+            self._prompt_latents = lat.reshape(len(self.pathologies), 2, -1)
+        return self._prompt_latents
+
+    def score_batch(self, videos: jnp.ndarray) -> np.ndarray:
+        """videos: (B, f, H, W, c) preprocessed volumes ->
+        (B, num_pathologies) P(present)."""
+        image_latents, _ = self._encode_image(self.variables, videos)
+        return np.asarray(self.scores_from_latents(image_latents))
+
+    def scores_from_latents(self, image_latents: jnp.ndarray) -> jnp.ndarray:
+        prompts = self.prompt_latents()  # (P, 2, d)
+        temp = jnp.exp(self.variables["params"]["temperature"])
+        logits = jnp.einsum("bd,pkd->bpk", image_latents, prompts) * temp
+        probs = jax.nn.softmax(logits, axis=-1)
+        return probs[..., 0]  # P(present) (zero_shot.py:140-143)
+
+
+def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
+                  results_folder: str, batch_size: int = 4,
+                  num_workers: int = 8,
+                  pathologies: Sequence[str] = PATHOLOGIES,
+                  save_artifacts: bool = True) -> Dict[str, np.ndarray]:
+    """Full CTClipInference.infer equivalent: iterate the dataset, score all
+    volumes, dump npz + accession list + AUROC table (zero_shot.py:149-165)."""
+    from ..data.loader import VolumeLoader
+    from ..evals.metrics import evaluate_internal
+
+    clf = ZeroShotClassifier(model, variables, tokenizer, pathologies)
+    loader = VolumeLoader(dataset, num_workers=num_workers,
+                          prefetch=2 * batch_size)
+
+    preds, labels, names = [], [], []
+    buf = []
+    for sample in loader:
+        vol = preprocess_volume(
+            jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
+            jnp.float32(sample.slope), jnp.float32(sample.intercept),
+            true_sizes=jnp.asarray(sample.true_sizes),
+            clip_before_resample=dataset.clip_before_resample)
+        buf.append((vol[..., None], sample.meta))
+        if len(buf) == batch_size:
+            _flush(clf, buf, preds, labels, names)
+            buf = []
+    if buf:
+        _flush(clf, buf, preds, labels, names)
+
+    predicted = np.concatenate(preds) if preds else np.zeros((0, len(pathologies)))
+    real = np.stack(labels) if labels else np.zeros((0, len(pathologies)))
+
+    out = {"predicted": predicted, "labels": real, "accessions": names}
+    if save_artifacts:
+        plotdir = Path(results_folder)
+        plotdir.mkdir(parents=True, exist_ok=True)
+        np.savez(plotdir / "labels_weights.npz", data=real)
+        np.savez(plotdir / "predicted_weights.npz", data=predicted)
+        (plotdir / "accessions.txt").write_text("\n".join(names) + "\n")
+        df = evaluate_internal(predicted, real, list(pathologies), str(plotdir))
+        _write_table(df, plotdir / "aurocs.xlsx")
+    return out
+
+
+def _flush(clf, buf, preds, labels, names):
+    videos = jnp.stack([v for v, _ in buf])
+    preds.append(clf.score_batch(videos))
+    for _, meta in buf:
+        labels.append(meta.labels if meta.labels is not None
+                      else np.zeros(len(clf.pathologies), np.float32))
+        names.append(meta.accession)
+
+
+def _write_table(df, path: Path):
+    """Excel when openpyxl/xlsxwriter is available, CSV fallback (air-gapped
+    parity with zero_shot.py:161-165 artifacts)."""
+    try:
+        df.to_excel(path, index=False)
+    except Exception:
+        df.to_csv(path.with_suffix(".csv"), index=False)

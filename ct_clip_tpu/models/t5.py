@@ -1,0 +1,71 @@
+"""Text conditioning for the generative stack.
+
+The reference lazily loads a frozen HF `google/t5-v1_1-base` encoder and
+mean-masks its output (transformer_maskgit/t5.py:64-104).  Air-gapped
+environments have no HF weights, so conditioning is a pluggable protocol:
+any callable texts -> (b, n, d) float embeddings with zero rows at padding.
+
+`t5_encode_text` uses the HF torch T5 encoder when available (exact
+reference behavior: tokenize, encode, zero out masked positions); otherwise
+raise with a clear message so callers inject their own embedder (e.g. the
+CXR-BERT tower).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+T5_NAME = "google/t5-v1_1-base"
+MAX_LENGTH = 256
+
+_t5_cache = {}
+
+
+def t5_encode_text(texts: Sequence[str], name: str = T5_NAME,
+                   max_length: int = MAX_LENGTH) -> np.ndarray:
+    """(b, n, d) embeddings with masked positions zeroed (t5.py:88-104)."""
+    try:
+        import torch
+        from transformers import T5EncoderModel, T5Tokenizer
+
+        if name not in _t5_cache:
+            _t5_cache[name] = (T5Tokenizer.from_pretrained(name),
+                               T5EncoderModel.from_pretrained(name).eval())
+        tok, model = _t5_cache[name]
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            f"T5 weights unavailable ({e}); pass your own text_embed_fn "
+            "(texts -> (b, n, d) array with zeroed pad rows)") from e
+
+    import torch
+
+    enc = tok(list(texts), return_tensors="pt", padding="longest",
+              truncation=True, max_length=max_length)
+    with torch.no_grad():
+        out = _t5_cache[name][1](input_ids=enc.input_ids,
+                                 attention_mask=enc.attention_mask)
+    hidden = out.last_hidden_state
+    hidden = hidden * enc.attention_mask[..., None]
+    return hidden.numpy()
+
+
+def bert_text_embedder(model, variables, tokenizer,
+                       max_length: int = 512) -> Callable:
+    """Build a conditioning embedder from the CXR-BERT tower (air-gapped
+    alternative to T5 with the same zero-padded contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def encode(ids, mask):
+        hidden, _ = model.apply(variables, ids, mask)
+        return hidden * mask[..., None]
+
+    def embed(texts: Sequence[str]) -> np.ndarray:
+        enc = tokenizer(list(texts), padding="max_length", truncation=True,
+                        max_length=max_length)
+        return np.asarray(encode(jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"])))
+
+    return embed

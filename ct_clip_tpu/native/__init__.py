@@ -1,0 +1,75 @@
+"""ctypes bindings for the native fast path (libnifti_fast.so).
+
+Built with `make -C ct_clip_tpu/native`.  Falls back silently when the
+shared object is absent; ct_clip_tpu.data.nifti uses it when available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent / "libnifti_fast.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.nifti_probe.restype = ctypes.c_int64
+    lib.nifti_probe.argtypes = [ctypes.c_char_p,
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.POINTER(ctypes.c_float)]
+    lib.nifti_read.restype = ctypes.c_int64
+    lib.nifti_read.argtypes = [ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_float),
+                               ctypes.c_int64,
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the shared object in place (requires g++ and zlib)."""
+    import subprocess
+
+    res = subprocess.run(["make", "-C", str(Path(__file__).parent)],
+                         capture_output=quiet, text=True)
+    global _lib
+    _lib = None
+    return res.returncode == 0 and _LIB_PATH.exists()
+
+
+def read_volume_native(path: str) -> Optional[Tuple[np.ndarray, Tuple[float, ...], float, float]]:
+    """Returns (volume[x,y,z...], pixdim(3,), scl_slope, scl_inter) or None
+    if the native library is unavailable.  Raises on decode errors."""
+    lib = _load()
+    if lib is None:
+        return None
+    shape = (ctypes.c_int32 * 8)()
+    meta = (ctypes.c_float * 8)()
+    count = lib.nifti_probe(path.encode(), shape, meta)
+    if count < 0:
+        raise ValueError(f"nifti_probe({path}) failed with code {count}")
+    out = np.empty(count, np.float32)
+    got = lib.nifti_read(path.encode(),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                         count, shape, meta)
+    if got != count:
+        raise ValueError(f"nifti_read({path}) failed with code {got}")
+    ndim = shape[0]
+    dims = tuple(shape[1 + i] for i in range(ndim))
+    vol = out.reshape(dims, order="F")
+    return vol, (meta[0], meta[1], meta[2]), float(meta[3]), float(meta[4])

@@ -153,10 +153,11 @@ class QKNormAttention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
 
         # null key/values: stored interleaved (h, 2*n, dh); even rows are keys,
-        # odd rows values (reference rearrange 'h (n r) d', r=2, attention.py:147-150)
-        null_kv = self.param("null_kv", nn.initializers.normal(1.0),
-                             (h, 2 * self.num_null_kv, dh))
+        # odd rows values (reference rearrange 'h (n r) d', r=2, attention.py:147-150).
+        # Only created when n > 0 (orbax cannot serialize zero-size arrays).
         if self.num_null_kv > 0:
+            null_kv = self.param("null_kv", nn.initializers.normal(1.0),
+                                 (h, 2 * self.num_null_kv, dh))
             nk = jnp.broadcast_to(null_kv[None, :, 0::2, :], (b, h, self.num_null_kv, dh))
             nv = jnp.broadcast_to(null_kv[None, :, 1::2, :], (b, h, self.num_null_kv, dh))
             k = jnp.concatenate([nk.astype(k.dtype), k], axis=-2)

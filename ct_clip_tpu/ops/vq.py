@@ -23,6 +23,63 @@ from flax import linen as nn
 
 from .norms import l2norm
 
+# Rows per tile of the assignment matmul.  The full (N, K) distance matrix at
+# production shape (8*13824 tokens x 8192 codes, f32) is ~3.6 GB of HLO temp
+# — chunking bounds it to (CHUNK, 8192) = 128 MB while keeping each tile a
+# dense MXU matmul.
+_ASSIGN_CHUNK = 4096
+
+
+def _chunked_argmax_sim(flat_n: jnp.ndarray, embed_n: jnp.ndarray) -> jnp.ndarray:
+    """argmax_k flat_n @ embed_n.T computed in row tiles via lax.map."""
+    n = flat_n.shape[0]
+    if n <= _ASSIGN_CHUNK:
+        dist = jnp.einsum("nd,kd->nk", flat_n, embed_n,
+                          preferred_element_type=jnp.float32)
+        return jnp.argmax(dist, axis=-1)
+    pad = (-n) % _ASSIGN_CHUNK
+    padded = jnp.pad(flat_n, ((0, pad), (0, 0)))
+    tiles = padded.reshape(-1, _ASSIGN_CHUNK, flat_n.shape[1])
+
+    def one(tile):
+        dist = jnp.einsum("nd,kd->nk", tile, embed_n,
+                          preferred_element_type=jnp.float32)
+        return jnp.argmax(dist, axis=-1)
+
+    return jax.lax.map(one, tiles).reshape(-1)[:n]
+
+
+def _chunked_cluster_stats(flat_n: jnp.ndarray, ind: jnp.ndarray,
+                           codebook_size: int):
+    """(bins, embed_sum) without materializing the full (N, K) one-hot
+    (3.6 GB at production shape) — scan over row tiles, accumulate (K,) and
+    (K, dim)."""
+    n, d = flat_n.shape
+    if n <= _ASSIGN_CHUNK:
+        onehot = jax.nn.one_hot(ind, codebook_size, dtype=jnp.float32)
+        return jnp.sum(onehot, axis=0), jnp.einsum(
+            "nd,nk->kd", flat_n, onehot, preferred_element_type=jnp.float32)
+    pad = (-n) % _ASSIGN_CHUNK
+    padded = jnp.pad(flat_n, ((0, pad), (0, 0)))
+    # padded rows get index -1 -> one_hot produces all-zero rows (no effect)
+    ind_padded = jnp.pad(ind, (0, pad), constant_values=-1)
+    tiles = padded.reshape(-1, _ASSIGN_CHUNK, d)
+    ind_tiles = ind_padded.reshape(-1, _ASSIGN_CHUNK)
+
+    def body(carry, xs):
+        bins, esum = carry
+        tile, ind_tile = xs
+        onehot = jax.nn.one_hot(ind_tile, codebook_size, dtype=jnp.float32)
+        bins = bins + jnp.sum(onehot, axis=0)
+        esum = esum + jnp.einsum("nd,nk->kd", tile, onehot,
+                                 preferred_element_type=jnp.float32)
+        return (bins, esum), None
+
+    init = (jnp.zeros((codebook_size,), jnp.float32),
+            jnp.zeros((codebook_size, d), jnp.float32))
+    (bins, esum), _ = jax.lax.scan(body, init, (tiles, ind_tiles))
+    return bins, esum
+
 
 class CosineVQ(nn.Module):
     dim: int
@@ -49,16 +106,12 @@ class CosineVQ(nn.Module):
         flat_n = l2norm(flat)
         embed_n = l2norm(embed)
 
-        dist = jnp.einsum("nd,kd->nk", flat_n, embed_n,
-                          preferred_element_type=jnp.float32)
-        ind = jnp.argmax(dist, axis=-1)
+        ind = _chunked_argmax_sim(flat_n, embed_n)
         quantize = jnp.take(embed, ind, axis=0)
 
         if train and not self.is_initializing():
-            onehot = jax.nn.one_hot(ind, self.codebook_size, dtype=jnp.float32)
-            bins = jnp.sum(onehot, axis=0)
-            embed_sum = jnp.einsum("nd,nk->kd", flat_n, onehot,
-                                   preferred_element_type=jnp.float32)
+            bins, embed_sum = _chunked_cluster_stats(flat_n, ind,
+                                                     self.codebook_size)
             if self.axis_name is not None:
                 bins = jax.lax.psum(bins, self.axis_name)
                 embed_sum = jax.lax.psum(embed_sum, self.axis_name)

@@ -1,0 +1,167 @@
+"""Fine-tuning protocols: VocabFine and LiPro (ClassFine).
+
+VocabFine (scripts/ct_vocabfine_train.py:22-176): end-to-end fine-tune of the
+whole CLIP with a prompt-pair MSE objective — for each pathology, the pair
+(true statement, contradicting statement) built from GT labels must softmax
+to [1, 0].  The reference runs 18 sequential forwards per volume in 3 chunks
+of 6 with backward per chunk; here all 36 distinct prompts are encoded ONCE
+per step and scored against the batched image latents in one einsum — the
+summed-chunk gradient (3 x mean over all pairs) is preserved exactly.
+
+LiPro (scripts/ct_lipro_train.py:17-147): frozen CTCLIP backbone; image
+latent -> ReLU -> Dropout(0.3) -> Linear(512 -> 18); BCE-with-logits with the
+18 per-class pos_weights; AdamW + cosine_lr, grad clip 1.0.  A
+latent-caching fast path trains the head on precomputed latents (the
+backbone is frozen, so latents are constants — encode each volume once).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from ..config import PATHOLOGIES, CTCLIPConfig
+from ..models.ctclip import CTCLIP
+from ..inference.zero_shot import pathology_prompts
+
+# reference pos_weights (ct_lipro_train.py:79-83)
+LIPRO_POS_WEIGHTS = np.asarray([
+    9.211362733, 2.384068466, 8.295479204, 32.8629776, 2.992233613,
+    6.064870808, 3.176470588, 4.187083754, 3.022222222, 1.216071737,
+    1.677849552, 3.152851834, 7.123261694, 18.16629381, 13.8480647,
+    6.335045662, 10.81701149, 13.40695067], np.float32)
+
+
+# --------------------------------------------------------------------------
+# VocabFine
+# --------------------------------------------------------------------------
+
+def vocabfine_prompt_batch(tokenizer, pathologies: Sequence[str] = PATHOLOGIES,
+                           max_length: int = 512) -> Dict[str, np.ndarray]:
+    """Tokenize the 36 prompts: [p0 present, p0 absent, p1 present, ...].
+    Note the reference appends a trailing space to each fine-tune prompt
+    ("{p} is present. ") — preserved here (ct_vocabfine_train.py:100-104)."""
+    prompts = []
+    for p in pathologies:
+        prompts.append(f"{p} is present. ")
+        prompts.append(f"{p} is not present. ")
+    return tokenizer(prompts, padding="max_length", truncation=True,
+                     max_length=max_length)
+
+
+def vocabfine_loss(model: CTCLIP, variables, prompt_ids, prompt_mask, video,
+                   labels, train: bool = True, rngs=None, mutable=()):
+    """labels: (B, 18) in {0,1}.  Returns (loss, new_mutable_vars)."""
+    out = model.apply(
+        variables, prompt_ids, prompt_mask, video, return_latents=True,
+        train=train, deterministic=not train, rngs=rngs,
+        mutable=list(mutable) if mutable else False)
+    (text_latents, image_latents, _enc), new_vars = (out if mutable
+                                                     else (out, {}))
+    temp = jnp.exp(variables["params"]["temperature"])
+    P = text_latents.shape[0] // 2
+    pairs = text_latents.reshape(P, 2, -1)  # (18, {present, absent}, d)
+
+    logits = jnp.einsum("bd,pkd->bpk", image_latents, pairs) * temp
+    # order each pair as (true statement, false statement) given GT
+    lab = labels.astype(jnp.int32)  # (B, P); 1 -> true statement is k=0
+    true_first = jnp.stack([
+        jnp.take_along_axis(logits, (1 - lab)[..., None], axis=-1)[..., 0],
+        jnp.take_along_axis(logits, lab[..., None], axis=-1)[..., 0],
+    ], axis=-1)  # (B, P, 2): [aligned, contradicting]
+    probs = jax.nn.softmax(true_first, axis=-1)
+    target = jnp.asarray([1.0, 0.0])
+    # 3 chunks x mean-per-chunk summed == 3 x global mean (chunk sizes equal)
+    loss = 3.0 * jnp.mean((probs - target) ** 2)
+    return loss, new_vars
+
+
+def make_vocabfine_step(model: CTCLIP, tx: optax.GradientTransformation):
+    def step(params, vq, opt_state, prompt_ids, prompt_mask, video, labels, rng):
+        def loss_fn(p):
+            loss, new_vars = vocabfine_loss(
+                model, {"params": p, "vq": vq}, prompt_ids, prompt_mask,
+                video, labels, train=True, rngs={"dropout": rng},
+                mutable=("vq",))
+            return loss, new_vars.get("vq", vq)
+
+        (loss, new_vq), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_vq, opt_state, loss
+
+    return jax.jit(step)
+
+
+# --------------------------------------------------------------------------
+# LiPro (ClassFine)
+# --------------------------------------------------------------------------
+
+class LiProHead(nn.Module):
+    """ReLU -> Dropout -> Linear(512 -> num_classes)
+    (ct_lipro_train.py:25-32)."""
+
+    num_classes: int = 18
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, latents, deterministic: bool = True):
+        x = nn.relu(latents)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.num_classes, name="classifier")(x)
+
+
+def bce_with_logits(logits, labels, pos_weight=None):
+    """torch BCEWithLogitsLoss(pos_weight=...) semantics, mean reduction."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    w_pos = 1.0 if pos_weight is None else pos_weight
+    loss = -(w_pos * labels * log_p + (1.0 - labels) * log_not_p)
+    return jnp.mean(loss)
+
+
+def make_lipro_latent_fn(model: CTCLIP, variables) -> Callable:
+    """Frozen-backbone latent extractor: video -> (B, dim_latent).  The
+    reference passes a single-space text (" ") it then ignores
+    (ct_lipro_train.py:96); only image latents feed the head."""
+
+    @jax.jit
+    def latent_fn(video):
+        latents, _ = model.apply(variables, video, method=CTCLIP.encode_image)
+        return jax.lax.stop_gradient(latents)
+
+    return latent_fn
+
+
+def make_lipro_step(head: LiProHead, tx: optax.GradientTransformation,
+                    pos_weight=LIPRO_POS_WEIGHTS, max_grad_norm: float = 1.0):
+    """Train step over precomputed latents (the fast path; numerically the
+    same as reference since the backbone is frozen)."""
+    pos_weight = jnp.asarray(pos_weight)
+    clip = optax.clip_by_global_norm(max_grad_norm)
+
+    def step(params, opt_state, latents, labels, rng):
+        def loss_fn(p):
+            logits = head.apply({"params": p}, latents, deterministic=False,
+                                rngs={"dropout": rng})
+            return bce_with_logits(logits, labels, pos_weight)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads, _ = clip.update(grads, None)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def lipro_predict(head: LiProHead, head_params, latent_fn, video) -> np.ndarray:
+    """Inference path (ct_lipro_inference.py:44-90): sigmoid of head logits."""
+    latents = latent_fn(video)
+    logits = head.apply({"params": head_params}, latents, deterministic=True)
+    return np.asarray(jax.nn.sigmoid(logits))

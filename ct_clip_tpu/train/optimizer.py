@@ -56,6 +56,24 @@ def cosine_lr_schedule(base_lr: float, warmup_length: int, steps: int):
     return schedule
 
 
+def cawr_schedule(first_cycle_steps: int, max_lr: float, min_lr: float = 0.0,
+                  warmup_steps: int = 0, gamma: float = 1.0):
+    """Jit-friendly CosineAnnealingWarmupRestarts for fixed-length cycles
+    (cycle_mult == 1); gamma decays the per-cycle max lr."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(step / first_cycle_steps)
+        in_cycle = step - cycle * first_cycle_steps
+        cur_max = max_lr * jnp.power(gamma, cycle)
+        warm = (cur_max - min_lr) * in_cycle / max(warmup_steps, 1) + min_lr
+        t = (in_cycle - warmup_steps) / max(first_cycle_steps - warmup_steps, 1)
+        cos = min_lr + (cur_max - min_lr) * (1 + jnp.cos(jnp.pi * t)) / 2
+        return jnp.where(in_cycle < warmup_steps, warm, cos)
+
+    return schedule
+
+
 def cosine_annealing_warmup_restarts(
         first_cycle_steps: int, cycle_mult: float = 1.0, max_lr: float = 0.1,
         min_lr: float = 0.001, warmup_steps: int = 0, gamma: float = 1.0):

@@ -1,0 +1,196 @@
+"""CTClipTrainer: the contrastive pretraining harness.
+
+Parity with scripts/CTCLIPTrainer.py:113-348 — infinite shuffled dataloader,
+tokenize to 512, forward+backward with grad-clip 0.5 and Adam at constant
+lr 1.25e-6, periodic mini zero-shot eval on validation volumes with AUROC
+dump, periodic checkpointing — mapped TPU-first:
+
+  * host threads only read/gunzip NIfTI; the voxel math is the fused device
+    preprocess kernel (ops/resample.py);
+  * the train step is one jit-compiled function over the mesh (batch sharded
+    on `data`, pod-wide negatives via all-gather, bf16 compute);
+  * checkpoints are sharded Orbax, metrics stream to JSONL, and
+    jax.profiler traces can be captured around any step window
+    (SURVEY.md §5 tracing gap).
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PATHOLOGIES, CTCLIPConfig, TrainConfig
+from ..data.datasets import CTReportDataset, CTReportDatasetInfer
+from ..data.loader import VolumeLoader
+from ..models.ctclip import CTCLIP
+from ..ops.resample import preprocess_volume
+from ..parallel.mesh import make_mesh, shard_params
+from .checkpoint import CheckpointManager
+from .optimizer import get_optimizer
+from .train_step import TrainState, create_train_state, make_train_step
+
+
+class MetricLogger:
+    """JSONL metrics stream + stdout (reference prints only,
+    CTCLIPTrainer.py:264)."""
+
+    def __init__(self, path: Optional[str] = None, quiet: bool = False):
+        self.path = Path(path) if path else None
+        self.quiet = quiet
+        if self.path:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a")
+
+    def log(self, step: int, **metrics):
+        rec = {"step": step, "time": time.time(), **metrics}
+        if self.path:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        if not self.quiet:
+            msg = " ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+                           for k, v in metrics.items())
+            print(f"step {step}: {msg}", flush=True)
+
+
+class CTClipTrainer:
+    def __init__(self, model: CTCLIP, tokenizer, *,
+                 train_dataset: CTReportDataset,
+                 valid_dataset: Optional[CTReportDatasetInfer] = None,
+                 config: TrainConfig = TrainConfig(),
+                 results_folder: str = "./results",
+                 num_workers: int = 8,
+                 profile_steps: Optional[tuple] = None):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.cfg = config
+        self.train_ds = train_dataset
+        self.valid_ds = valid_dataset
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.num_workers = num_workers
+        self.profile_steps = profile_steps
+
+        self.mesh = make_mesh(config.mesh)
+        self.tx = get_optimizer(lr=config.lr, wd=config.wd,
+                                max_grad_norm=config.max_grad_norm)
+        self.step_fn = None  # compiled lazily on first batch
+        self.state: Optional[TrainState] = None
+        self.logger = MetricLogger(self.results_folder / "metrics.jsonl")
+        self.ckpt = CheckpointManager(self.results_folder / "checkpoints")
+
+    # ------------------------------------------------------------------ data
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite batches: host read -> device preprocess -> stack."""
+        loader = VolumeLoader(self.train_ds, num_workers=self.num_workers,
+                              prefetch=2 * self.cfg.batch_size, shuffle=True,
+                              infinite=True, seed=self.cfg.seed)
+        buf_v, buf_t = [], []
+        for sample in loader:
+            vol = preprocess_volume(
+                jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
+                jnp.float32(sample.slope), jnp.float32(sample.intercept),
+                true_sizes=jnp.asarray(sample.true_sizes),
+                clip_before_resample=self.train_ds.clip_before_resample)
+            buf_v.append(vol[..., None])
+            buf_t.append(sample.meta.text)
+            if len(buf_v) == self.cfg.batch_size:
+                enc = self.tokenizer(buf_t, padding="max_length",
+                                     truncation=True, max_length=512)
+                yield {
+                    "video": jnp.stack(buf_v).astype(self.cfg.dtype),
+                    "input_ids": jnp.asarray(enc["input_ids"]),
+                    "attention_mask": jnp.asarray(enc["attention_mask"]),
+                }
+                buf_v, buf_t = [], []
+
+    # ----------------------------------------------------------------- setup
+    def _init_state(self, batch) -> None:
+        state = create_train_state(self.model, jax.random.PRNGKey(self.cfg.seed),
+                                   batch, self.tx)
+        state = state.replace(params=shard_params(state.params, self.mesh,
+                                                  self.cfg.mesh))
+        self.state = state
+        raw_step = make_train_step(self.model, self.tx, self.cfg)
+        self.step_fn = jax.jit(raw_step, donate_argnums=(0,))
+
+    def load(self, step: Optional[int] = None) -> int:
+        assert self.state is not None, "call train() or init on a batch first"
+        self.state = self.ckpt.restore(self.state, step)
+        return int(self.state.step)
+
+    # ----------------------------------------------------------------- train
+    def train(self, num_steps: Optional[int] = None,
+              eval_fn=None) -> TrainState:
+        num_steps = num_steps or self.cfg.num_train_steps
+        batches = self._batches()
+        t_last = time.time()
+        with self.mesh:
+            for batch in batches:
+                if self.state is None:
+                    self._init_state(batch)
+                step = int(self.state.step)
+                if step >= num_steps:
+                    break
+                if self.profile_steps and step == self.profile_steps[0]:
+                    jax.profiler.start_trace(str(self.results_folder / "trace"))
+                rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), step)
+                self.state, metrics = self.step_fn(self.state, batch, rng)
+                if self.profile_steps and step == self.profile_steps[1]:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+
+                now = time.time()
+                self.logger.log(step, loss=float(metrics["loss"]),
+                                grad_norm=float(metrics["grad_norm"]),
+                                temperature=float(metrics["temperature"]),
+                                step_time=now - t_last)
+                t_last = now
+
+                next_step = step + 1
+                if next_step % self.cfg.save_results_every == 0:
+                    self._mini_eval(next_step, eval_fn)
+                if next_step % self.cfg.save_model_every == 0:
+                    self.ckpt.save(next_step, self.state)
+        return self.state
+
+    # ------------------------------------------------------------------ eval
+    def _mini_eval(self, step: int, eval_fn=None, num_volumes: int = 10):
+        """In-training zero-shot AUROC on a few validation volumes
+        (CTCLIPTrainer.py:266-327)."""
+        if eval_fn is not None:
+            eval_fn(self, step)
+            return
+        if self.valid_ds is None or len(self.valid_ds) == 0:
+            return
+        from ..evals.metrics import evaluate_internal
+        from ..inference.zero_shot import ZeroShotClassifier
+
+        variables = {"params": self.state.params, "vq": self.state.vq}
+        clf = ZeroShotClassifier(self.model, variables, self.tokenizer)
+        preds, labels = [], []
+        loader = VolumeLoader(self.valid_ds, num_workers=self.num_workers,
+                              prefetch=4)
+        for i, sample in enumerate(loader):
+            if i >= num_volumes:
+                break
+            vol = preprocess_volume(
+                jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
+                jnp.float32(sample.slope), jnp.float32(sample.intercept),
+                true_sizes=jnp.asarray(sample.true_sizes),
+                clip_before_resample=self.valid_ds.clip_before_resample)
+            preds.append(clf.score_batch(vol[None, ..., None]
+                                         .astype(self.cfg.dtype))[0])
+            labels.append(sample.meta.labels)
+        if not preds:
+            return
+        df = evaluate_internal(np.stack(preds), np.stack(labels),
+                               list(PATHOLOGIES))
+        out = self.results_folder / f"mini_eval_step{step}.csv"
+        df.to_csv(out, index=False)
+        self.logger.log(step, mini_eval_mean_auc=float(df["mean_auc"].iloc[0]))

@@ -1,0 +1,179 @@
+"""MaskGIT / MLM / SSL / text-classifier subsystem tests."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ct_clip_tpu.config import MaskGitConfig, RadBertConfig
+from ct_clip_tpu.models import (MLM, MaskGit, TokenCritic,
+                                cosine_schedule_mask, maskgit_train_loss,
+                                critic_train_loss, nt_xent_loss,
+                                sample_tokens, simsiam_loss,
+                                subset_mask_with_prob)
+
+GRID = (2, 3, 3)  # (t, h, w) -> 18 tokens
+CFG = MaskGitConfig(dim=32, depth=1, dim_head=8, heads=4, max_seq_len=32,
+                    t5_dim=16)
+K = 24  # codebook size
+
+
+def _maskgit():
+    m = MaskGit(CFG, num_tokens=K)
+    ids = jnp.zeros((2, 18), jnp.int32)
+    ctx = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), ids, GRID, context=ctx)
+    return m, variables, ctx
+
+
+def test_maskgit_forward_shapes():
+    m, variables, ctx = _maskgit()
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, K + 1, (2, 18)))
+    logits = m.apply(variables, ids, GRID, context=ctx)
+    assert logits.shape == (2, 18, K)
+    emb = m.apply(variables, ids, GRID, context=ctx, return_embeds=True)
+    assert emb.shape == (2, 18, CFG.dim)
+
+
+def test_cosine_schedule_mask_respects_validity():
+    valid = jnp.asarray(np.array([[1] * 10 + [0] * 8, [1] * 18], bool))
+    mask = cosine_schedule_mask(jax.random.PRNGKey(0), valid, steps=18)
+    assert mask.shape == valid.shape
+    assert not bool(jnp.any(mask & ~valid))
+
+
+def test_subset_mask_prob():
+    valid = jnp.ones((4, 20), bool)
+    mask = subset_mask_with_prob(jax.random.PRNGKey(0), valid, 0.15)
+    counts = np.asarray(mask.sum(axis=-1))
+    assert np.all(counts == 3)  # ceil(0.15 * 20)
+
+
+def test_maskgit_training_and_critic_loss():
+    m, variables, ctx = _maskgit()
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, K, (2, 2, 3, 3)))
+    loss, (masked, mask, logits) = maskgit_train_loss(
+        m, variables, jax.random.PRNGKey(0), ids, GRID, context=ctx)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    critic = TokenCritic(CFG, num_tokens=K)
+    cvars = critic.init(jax.random.PRNGKey(1), masked, GRID)
+    closs = critic_train_loss(critic, cvars, jax.random.PRNGKey(2), ids,
+                              logits, mask, GRID)
+    assert np.isfinite(float(closs))
+
+
+def test_sampling_produces_valid_ids():
+    m, variables, ctx = _maskgit()
+    ids = sample_tokens(m, variables, jax.random.PRNGKey(0), GRID,
+                        batch_size=2, context=ctx, steps=4, cond_scale=2.0)
+    arr = np.asarray(ids)
+    assert arr.shape == (2, 18)
+    assert arr.min() >= 0 and arr.max() < K  # no mask ids remain
+
+
+def test_sampling_with_critic():
+    m, variables, ctx = _maskgit()
+    critic = TokenCritic(CFG, num_tokens=K)
+    cvars = critic.init(jax.random.PRNGKey(1), jnp.zeros((2, 18), jnp.int32),
+                        GRID)
+    ids = sample_tokens(m, variables, jax.random.PRNGKey(0), GRID,
+                        batch_size=2, context=ctx, steps=3,
+                        critic=critic, critic_vars=cvars)
+    assert np.asarray(ids).max() < K
+
+
+def test_mlm_loss():
+    from ct_clip_tpu.config import BertConfig
+    from ct_clip_tpu.models import BertModel
+
+    bcfg = BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=32,
+                      max_position_embeddings=24, hidden_dropout=0.0,
+                      attention_dropout=0.0, with_pooler=False)
+    from flax import linen as nn
+
+    class WithMLM(nn.Module):
+        @nn.compact
+        def __call__(self, seq, mask):
+            bert = BertModel(bcfg, name="bert")
+            mlm = MLM(encode_fn=lambda s, m: bert(s, m)[0], dim=16,
+                      num_tokens=32, mask_token_id=3, pad_token_id=0,
+                      name="mlm")
+            return mlm(seq, mask)
+
+    rng = np.random.RandomState(3)
+    seq = jnp.asarray(rng.randint(4, 32, (2, 20)))
+    mask = jnp.ones((2, 20), jnp.int32)
+    model = WithMLM()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "mlm": jax.random.PRNGKey(1)}, seq, mask)
+    loss = model.apply(variables, seq, mask, rngs={"mlm": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0  # CE over 32 classes ~ log(32)
+
+
+def test_ssl_losses():
+    rng = np.random.RandomState(4)
+    z1 = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    z2 = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    # d(p1, z2') + d(p2, z1'): with p1 == z2' and p2 == z1' the loss is -1
+    l = simsiam_loss(z1, z2, z2, z1)
+    np.testing.assert_allclose(float(l), -1.0, atol=1e-5)
+    nt = nt_xent_loss(z1, z1 + 0.01 * z2, temperature=0.1)
+    nt_rand = nt_xent_loss(z1, z2, temperature=0.1)
+    assert float(nt) < float(nt_rand)  # aligned views score better
+
+
+def test_text_classifier_trainer(tmp_path):
+    import csv
+    from ct_clip_tpu.config import PATHOLOGIES
+    from ct_clip_tpu.data import WordPieceTokenizer
+    from ct_clip_tpu.models import RadBertClassifier
+    from ct_clip_tpu.train.text_classifier import (ReportClassificationDataset,
+                                                   TextClassifierTrainer,
+                                                   multilabel_report,
+                                                   sentence_shuffle)
+    import random
+
+    # toy data: word "effusion" present <=> label 1 on first pathology
+    rows = []
+    rng = np.random.RandomState(5)
+    for i in range(24):
+        pos = i % 2 == 0
+        text = "pleural effusion seen." if pos else "clear lungs."
+        row = {"report": text}
+        row.update({p: ("1" if (pos and j == 0) else "0")
+                    for j, p in enumerate(PATHOLOGIES)})
+        rows.append(row)
+    csv_path = tmp_path / "reports.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader(); w.writerows(rows)
+
+    VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "pleural",
+             "effusion", "seen", "clear", "lungs", "."]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(VOCAB))
+    tok = WordPieceTokenizer(str(vp))
+
+    cfg = RadBertConfig(vocab_size=len(VOCAB), hidden_size=16,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=32, max_position_embeddings=20,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    ds = ReportClassificationDataset(str(csv_path))
+    trainer = TextClassifierTrainer(RadBertClassifier(cfg), tok, lr=5e-3,
+                                    batch_size=8)
+    result = trainer.train(ds, valid_ds=ds, epochs=3)
+    assert len(result["history"]) == 3
+    probs, labels = trainer.predict_dataset(ds)
+    assert probs.shape == labels.shape == (24, 18)
+    rep = multilabel_report(labels, probs)
+    assert "confusion" in rep and rep["confusion"].shape == (18, 2, 2)
+
+    out_csv = tmp_path / "inferred.csv"
+    trainer.infer_to_csv(ds, str(out_csv))
+    assert out_csv.exists()
+
+    r = random.Random(0)
+    shuffled = sentence_shuffle("One. Two. Three.", r, prob=1.0)
+    assert sorted(shuffled.split()) == sorted("One. Two. Three.".split())

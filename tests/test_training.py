@@ -1,0 +1,233 @@
+"""Integration tests: contrastive loss math, train step on an 8-device mesh,
+checkpoint round-trip, schedules, zero-shot protocol, metrics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ct_clip_tpu import (BertConfig, CTCLIPConfig, CTViTConfig, MeshConfig,
+                         TrainConfig, PATHOLOGIES)
+from ct_clip_tpu.models import CTCLIP, contrastive_loss
+from ct_clip_tpu.parallel import make_mesh, shard_params
+from ct_clip_tpu.train import (CheckpointManager, TrainState,
+                               cosine_annealing_warmup_restarts,
+                               cosine_lr_schedule, create_train_state,
+                               get_optimizer, make_train_step)
+
+
+def tiny_cfg(**kw):
+    ctvit = CTViTConfig(dim=32, codebook_size=64, image_size=32, patch_size=8,
+                        temporal_patch_size=4, spatial_depth=1,
+                        temporal_depth=1, dim_head=8, heads=4, num_frames=8)
+    bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_position_embeddings=32)
+    hw = ctvit.image_size // ctvit.patch_size
+    return CTCLIPConfig(dim_text=32, dim_image=hw * hw * ctvit.dim,
+                        dim_latent=16, ctvit=ctvit, bert=bert, **kw)
+
+
+def tiny_batch(cfg, b=4, seq=12, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "input_ids": jnp.asarray(rng.randint(0, cfg.bert.vocab_size, (b, seq))),
+        "attention_mask": jnp.ones((b, seq), jnp.int32),
+        "video": jnp.asarray(rng.randn(b, cfg.ctvit.num_frames,
+                                       cfg.ctvit.image_size,
+                                       cfg.ctvit.image_size, 1)
+                             .astype(np.float32)),
+    }
+
+
+def test_contrastive_loss_matches_reference_form():
+    """Check the stable log-softmax equals the reference exp/diag/log form."""
+    rng = np.random.RandomState(0)
+    b, d = 5, 8
+    tl = rng.randn(1, b, d).astype(np.float32)
+    il = rng.randn(1, b, d).astype(np.float32)
+    tl /= np.linalg.norm(tl, axis=-1, keepdims=True)
+    il /= np.linalg.norm(il, axis=-1, keepdims=True)
+    temp = np.exp(1.0).astype(np.float32)
+
+    loss, multiview = contrastive_loss(jnp.asarray(tl), jnp.asarray(il),
+                                       jnp.asarray(temp))
+    # reference form (ct_clip.py:845-878)
+    sim = tl[0] @ il[0].T * temp
+    def ref_dir(s):
+        e = np.exp(s)
+        pos = np.diag(e)
+        denom = e.sum(-1)
+        return float(np.mean(-np.log(pos + 1e-20) + np.log(denom + 1e-20)))
+    expect = 0.5 * (ref_dir(sim) + ref_dir(sim.T))
+    assert abs(float(loss) - expect) < 1e-5
+    assert multiview.shape == (0,)
+
+
+def test_contrastive_loss_dcl_masks_diagonal():
+    rng = np.random.RandomState(1)
+    tl = rng.randn(1, 4, 8).astype(np.float32)
+    il = rng.randn(1, 4, 8).astype(np.float32)
+    loss_plain, _ = contrastive_loss(jnp.asarray(tl), jnp.asarray(il),
+                                     jnp.float32(1.0))
+    loss_dcl, _ = contrastive_loss(jnp.asarray(tl), jnp.asarray(il),
+                                   jnp.float32(1.0), decoupled=True)
+    # removing the positive from the denominator strictly reduces the denom
+    assert float(loss_dcl) < float(loss_plain)
+
+
+def test_contrastive_loss_all_gather_equivalence():
+    """shard_map all-gather loss over 8 CPU devices == single-device loss on
+    the full batch (the pod-wide negatives capability)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    rng = np.random.RandomState(2)
+    b, d = 16, 8
+    tl = rng.randn(b, d).astype(np.float32)
+    il = rng.randn(b, d).astype(np.float32)
+    temp = jnp.float32(2.0)
+
+    full, _ = contrastive_loss(jnp.asarray(tl[None]), jnp.asarray(il[None]), temp)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    def per_device(tl_local, il_local):
+        loss, _ = contrastive_loss(tl_local[None], il_local[None], temp,
+                                   axis_name="data")
+        return jax.lax.pmean(loss, "data")
+
+    sharded = shard_map(per_device, mesh=mesh,
+                        in_specs=(P("data"), P("data")), out_specs=P())
+    got = sharded(jnp.asarray(tl), jnp.asarray(il))
+    assert abs(float(got) - float(full)) < 1e-5
+
+
+def test_train_step_runs_and_updates():
+    cfg = tiny_cfg()
+    model = CTCLIP(cfg)
+    tcfg = TrainConfig(batch_size=4, lr=1e-3)
+    tx = get_optimizer(lr=tcfg.lr, wd=tcfg.wd, max_grad_norm=tcfg.max_grad_norm)
+    batch = tiny_batch(cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    step = jax.jit(make_train_step(model, tx, tcfg))
+
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 3
+    # overfitting a fixed batch must reduce loss
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_on_mesh_with_sharded_params():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_cfg()
+    model = CTCLIP(cfg)
+    mesh_cfg = MeshConfig(model_parallel_size=2)
+    mesh = make_mesh(mesh_cfg)
+    tcfg = TrainConfig(batch_size=8, lr=1e-3, mesh=mesh_cfg)
+    tx = get_optimizer(lr=tcfg.lr, wd=tcfg.wd, max_grad_norm=tcfg.max_grad_norm)
+    batch = tiny_batch(cfg, b=8)
+    data_shard = NamedSharding(mesh, P("data"))
+    batch = {k: jax.device_put(v, data_shard) for k, v in batch.items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    state = state.replace(params=shard_params(state.params, mesh, mesh_cfg))
+    # the 294912-like projection really is sharded over `model`
+    k = state.params["to_visual_latent"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+
+    step = jax.jit(make_train_step(model, tx, tcfg))
+    with mesh:
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    model = CTCLIP(cfg)
+    tx = get_optimizer(lr=1e-3)
+    batch = tiny_batch(cfg, b=2)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    step = jax.jit(make_train_step(model, tx, TrainConfig(batch_size=2)))
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    state2 = mgr.restore(jax.tree.map(np.zeros_like, state))
+    for a, b_ in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=0)
+    assert int(state2.step) == 1
+
+
+def test_schedules():
+    s = cosine_lr_schedule(1.0, warmup_length=10, steps=110)
+    assert abs(float(s(0)) - 0.1) < 1e-6
+    assert abs(float(s(9)) - 1.0) < 1e-6
+    assert abs(float(s(10)) - 1.0) < 1e-6  # cos(0)
+    assert float(s(110)) < 1e-6
+
+    c = cosine_annealing_warmup_restarts(first_cycle_steps=10, max_lr=1.0,
+                                         min_lr=0.0, warmup_steps=2, gamma=0.5)
+    assert c(0) == 0.0
+    assert abs(c(2) - 1.0) < 1e-9
+    assert abs(c(12) - 0.5) < 1e-9  # second cycle max is gamma-scaled
+
+
+def test_zero_shot_protocol(tmp_path):
+    """Cached-prompt zero-shot == the reference per-pair softmax protocol."""
+    from ct_clip_tpu.inference import ZeroShotClassifier, pathology_prompts
+
+    cfg = tiny_cfg()
+    model = CTCLIP(cfg)
+    batch = tiny_batch(cfg, b=2)
+
+    VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + \
+        sorted({w.lower().rstrip(".") for p in PATHOLOGIES for w in p.split()}) + \
+        ["is", "present", "not", "."]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(VOCAB))
+    from ct_clip_tpu.data import WordPieceTokenizer
+    tok = WordPieceTokenizer(str(vp))
+
+    variables = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                           batch["attention_mask"], batch["video"],
+                           return_loss=True)
+    clf = ZeroShotClassifier(model, variables, tok, max_text_len=16)
+    scores = clf.score_batch(batch["video"])
+    assert scores.shape == (2, 18)
+    assert np.all((scores > 0) & (scores < 1))
+
+    # reference protocol for pathology 0, volume 0: model(text_pair, video)
+    prompts = pathology_prompts()[:2]
+    enc = tok(prompts, max_length=16)
+    out = model.apply(variables, jnp.asarray(enc["input_ids"]),
+                      jnp.asarray(enc["attention_mask"]), batch["video"][:1])
+    probs = jax.nn.softmax(out, axis=0)
+    np.testing.assert_allclose(scores[0, 0], float(probs[0]), atol=1e-5)
+
+
+def test_metrics_and_bootstrap():
+    from ct_clip_tpu.evals import (bootstrap_report, evaluate_internal,
+                                   volume_to_volume, report_to_volume)
+
+    rng = np.random.RandomState(0)
+    n = 60
+    real = (rng.rand(n, 18) > 0.5).astype(np.float32)
+    pred = np.clip(real * 0.7 + rng.rand(n, 18) * 0.3, 0, 1)
+    df = evaluate_internal(pred, real, list(PATHOLOGIES))
+    assert df["mean_auc"].iloc[0] > 0.8
+
+    rep = bootstrap_report(pred, real, list(PATHOLOGIES)[:2], n_samples=50)
+    assert set(rep) == {"auroc", "f1", "accuracy", "precision"}
+    row = rep["auroc"].iloc[0]
+    assert row["ci_lower"] <= row["mean"] <= row["ci_upper"]
+
+    lat = rng.randn(n, 16).astype(np.float32)
+    v2v = volume_to_volume(lat, real, topk=(1, 5))
+    assert set(v2v) == {1, 5}
+    r2v = report_to_volume(lat, lat, topk=(1, 10))
+    assert r2v[1][0] == 1.0  # identical latents retrieve themselves
