@@ -27,6 +27,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from ct_clip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ct_clip_tpu import CTCLIPConfig
     from ct_clip_tpu.models import CTCLIP
 

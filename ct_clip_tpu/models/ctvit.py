@@ -116,10 +116,18 @@ class CTViT(nn.Module):
         pt, p = cfg.temporal_patch_size, cfg.patch_size
         t, h, w = f // pt, H // p, W // p
 
-        perm = jnp.asarray(self.patch_permutation(f, H, c, pt, p))
-        flat = video.reshape(b, f * H * W * c)
-        patches = jnp.take(flat, perm, axis=1).reshape(b, t * h * w,
-                                                       cfg.patch_dim)
+        if c == 1:
+            # Pallas relayout kernel on TPU (XLA gather fallback elsewhere):
+            # the gather path costs ~108 ms/volume, the kernel runs at HBM
+            # bandwidth (ops/pallas/patchify.py).
+            from ..ops.pallas.patchify import rearrange_patches
+
+            patches = rearrange_patches(video[..., 0], pt, p)
+        else:
+            perm = jnp.asarray(self.patch_permutation(f, H, c, pt, p))
+            flat = video.reshape(b, f * H * W * c)
+            patches = jnp.take(flat, perm, axis=1).reshape(b, t * h * w,
+                                                           cfg.patch_dim)
 
         from ..ops.norms import layer_norm
 
