@@ -75,6 +75,9 @@ class CTViTConfig(_Base):
     # Whether to build the decoder mirror (the reference's decoder is dead code,
     # ctvit.py:325-335 reference attrs never created; we build a working one).
     with_decoder: bool = False
+    # Per-block jax.checkpoint (the torch.utils.checkpoint toggle,
+    # ct_clip.py:64-74); trades recompute for HBM during training.
+    remat: bool = False
 
     @property
     def patch_hw(self) -> int:
@@ -108,6 +111,7 @@ class BertConfig(_Base):
     attention_dropout: float = 0.1
     pad_token_id: int = 0
     with_pooler: bool = True
+    remat: bool = False  # per-layer jax.checkpoint during training
 
 
 @dataclass(frozen=True)
@@ -119,6 +123,8 @@ class CTCLIPConfig(_Base):
     dim_image: int = 294912  # 24*24*512 flattened post-temporal-pool grid
     dim_latent: int = 512
     use_all_token_embeds: bool = False  # FILIP fine-grained loss
+    text_has_cls_token: bool = False  # drop token 0 in FILIP mode (ct_clip.py:421,754)
+    visual_has_cls_token: bool = False  # (ct_clip.py:433,755)
     decoupled_contrastive_learning: bool = False  # DCL
     extra_latent_projection: bool = False  # CLOOB
     use_mlm: bool = False

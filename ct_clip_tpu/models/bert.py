@@ -145,12 +145,15 @@ class BertModel(nn.Module):
 
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * MASK_MIN
 
+        # per-layer jax.checkpoint; param names unchanged under nn.remat
+        Layer = (nn.remat(BertLayer, static_argnums=(3,))
+                 if getattr(cfg, "remat", False) else BertLayer)
         for i in range(cfg.num_hidden_layers):
-            x = BertLayer(cfg.hidden_size, cfg.num_attention_heads,
-                          cfg.intermediate_size, cfg.layer_norm_eps,
-                          cfg.hidden_dropout, cfg.attention_dropout,
-                          dtype=self.dtype, name=f"layer_{i}")(
-                              x, attn_bias, deterministic)
+            x = Layer(cfg.hidden_size, cfg.num_attention_heads,
+                      cfg.intermediate_size, cfg.layer_norm_eps,
+                      cfg.hidden_dropout, cfg.attention_dropout,
+                      dtype=self.dtype, name=f"layer_{i}")(
+                          x, attn_bias, deterministic)
 
         pooled = None
         if getattr(cfg, "with_pooler", True):

@@ -83,6 +83,66 @@ def contrastive_loss(text_latents: jnp.ndarray, image_latents: jnp.ndarray,
     return cl_losses[0], cl_losses[1:]
 
 
+def filip_loss(text_tokens: jnp.ndarray, image_tokens: jnp.ndarray,
+               text_mask: jnp.ndarray, temp: jnp.ndarray, *,
+               decoupled: bool = False,
+               extra_tokens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+               axis_name: Optional[str] = None):
+    """FILIP fine-grained contrastive loss (`use_all_token_embeds`).
+
+    Capability note: the reference's own FILIP branch is unreachable — its
+    adaptation flattens image tokens to 2D and CLS-pools text before the
+    branch (ct_clip.py:740,763), so the `ndim == 3` asserts at
+    ct_clip.py:750-751 can never hold.  This implements the upstream x-clip
+    semantics the branch was written for (ct_clip.py:829-843): per-token
+    similarities, text→image = masked mean over text tokens of the max image
+    token sim; image→text = mean over image tokens of the max (mask-filled)
+    text token sim, then the same exp/diag/row-sum InfoNCE form.
+
+    text_tokens: (m, b, L, d); image_tokens: (n, b, I, d); text_mask: (m, b, L).
+    Returns (cl_loss, multiview_cl_losses).
+    """
+    if axis_name is not None:
+        gather = lambda t: jax.lax.all_gather(t, axis_name, axis=1, tiled=True)
+        text_tokens, image_tokens = gather(text_tokens), gather(image_tokens)
+        text_mask = gather(text_mask)
+        if extra_tokens is not None:
+            extra_tokens = tuple(map(gather, extra_tokens))
+
+    m, b = text_tokens.shape[:2]
+    n = image_tokens.shape[0]
+    neg_big = jnp.finfo(jnp.float32).max
+
+    sim = jnp.einsum("mxtd,nyid->mnxyti", text_tokens, image_tokens,
+                     preferred_element_type=jnp.float32) * temp
+    sim_i2t = sim
+    if extra_tokens is not None:
+        tl_x, il_x = extra_tokens
+        sim_i2t = jnp.einsum("mxtd,nyid->mnxyti", tl_x, il_x,
+                             preferred_element_type=jnp.float32) * temp
+
+    mask = text_mask.astype(bool)[:, None, :, None, :]  # (m,1,x,1,t)
+    # text -> image: max over image tokens, masked mean over text tokens
+    # (ct_clip.py:836-838, masked_mean eps 1e-6 at :40-44)
+    t2i_tok = jnp.max(sim, axis=-1)  # (m,n,x,y,t)
+    t2i = (jnp.sum(jnp.where(mask, t2i_tok, 0.0), axis=-1)
+           / jnp.clip(jnp.sum(mask, axis=-1), 1e-6))  # (m,n,x,y)
+    # image -> text: mask-fill pad text tokens, max over text, mean over image
+    # tokens (ct_clip.py:840-842); NOT transposed — matches the reference form.
+    i2t = jnp.mean(jnp.max(jnp.where(mask[..., None], sim_i2t, -neg_big),
+                           axis=-2), axis=-1)  # (m,n,x,y)
+
+    def one_direction(s):
+        s = s.reshape(m * n, b, b)
+        pos = jnp.diagonal(s, axis1=-2, axis2=-1)
+        if decoupled:
+            s = jnp.where(jnp.eye(b, dtype=bool)[None], -jnp.inf, s)
+        return jnp.mean(jax.nn.logsumexp(s, axis=-1) - pos, axis=-1)
+
+    cl_losses = 0.5 * (one_direction(t2i) + one_direction(i2t))
+    return cl_losses[0], cl_losses[1:]
+
+
 class CTCLIP(nn.Module):
     config: CTCLIPConfig
     dtype: jnp.dtype = jnp.float32
@@ -145,6 +205,15 @@ class CTCLIP(nn.Module):
         if return_encodings:
             return enc_text, image_embeds
 
+        if cfg.use_all_token_embeds:
+            return self._filip_path(enc_text, enc_image, attention_mask,
+                                    return_loss=return_loss,
+                                    return_latents=return_latents,
+                                    num_batch_texts=num_batch_texts,
+                                    num_batch_images=num_batch_images,
+                                    text_to_image=text_to_image,
+                                    axis_name=axis_name)
+
         text_embeds = enc_text[:, 0]
         text_latents = l2norm(self.to_text_latent(text_embeds))
         image_latents = l2norm(self.to_visual_latent(image_embeds))
@@ -182,6 +251,11 @@ class CTCLIP(nn.Module):
             image_to_text_latents=extra_mn,
             axis_name=axis_name if cfg.gather_negatives else None)
 
+        return self._weighted_total(cl_loss, multiview, m, n)
+
+    def _weighted_total(self, cl_loss, multiview, m, n):
+        """Weighted loss sum (ct_clip.py:885-899)."""
+        cfg = self.config
         is_multiview = (m > 1 or n > 1)
         multiview_weight = cfg.multiview_loss_weight if is_multiview else 0.0
         cl_weight = 1.0 - (cfg.text_ssl_loss_weight * float(cfg.use_mlm)
@@ -191,3 +265,52 @@ class CTCLIP(nn.Module):
         if is_multiview:
             loss = loss + jnp.mean(multiview) * multiview_weight
         return loss
+
+    def _filip_path(self, enc_text, enc_image, attention_mask, *, return_loss,
+                    return_latents, num_batch_texts, num_batch_images,
+                    text_to_image, axis_name):
+        """Fine-grained all-token-embeds path (FILIP; see `filip_loss`).
+
+        Image tokens are the encoded VQ grid flattened over (t, h, w); the
+        latent projections are applied per-token, so `dim_image` must equal
+        the CTViT token dim (512) when `use_all_token_embeds` is on."""
+        cfg = self.config
+        text_tokens = enc_text[:, 1:] if cfg.text_has_cls_token else enc_text
+        text_mask = (attention_mask[:, 1:] if cfg.text_has_cls_token
+                     else attention_mask)
+        image_tokens = enc_image.reshape(enc_image.shape[0], -1,
+                                         enc_image.shape[-1])
+        if cfg.visual_has_cls_token:
+            image_tokens = image_tokens[:, 1:]
+
+        text_latents = l2norm(self.to_text_latent(text_tokens))
+        image_latents = l2norm(self.to_visual_latent(image_tokens))
+        extra = None
+        if cfg.extra_latent_projection:
+            extra = (l2norm(self.to_text_latent_extra(text_tokens)),
+                     l2norm(self.to_visual_latent_extra(image_tokens)))
+
+        if return_latents:
+            if cfg.extra_latent_projection:
+                return text_latents, image_latents, extra[0], extra[1]
+            return text_latents, image_latents, enc_image
+
+        temp = jnp.exp(self.temperature)
+        if not return_loss:
+            # (ct_clip.py:801-803 einsum 'b t d, b i d -> b t i')
+            tl, il = text_latents, image_latents
+            if cfg.extra_latent_projection and not text_to_image:
+                tl, il = extra
+            return jnp.einsum("btd,bid->bti", tl, il,
+                              preferred_element_type=jnp.float32) * temp
+
+        m, n = num_batch_texts, num_batch_images
+        resh = lambda t, k: t.reshape((k, -1) + t.shape[1:])
+        cl_loss, multiview = filip_loss(
+            resh(text_latents, m), resh(image_latents, n),
+            resh(text_mask, m), temp,
+            decoupled=cfg.decoupled_contrastive_learning,
+            extra_tokens=None if extra is None else (resh(extra[0], m),
+                                                     resh(extra[1], n)),
+            axis_name=axis_name if cfg.gather_negatives else None)
+        return self._weighted_total(cl_loss, multiview, m, n)

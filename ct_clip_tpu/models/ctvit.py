@@ -60,7 +60,8 @@ class CTViT(nn.Module):
             name="spatial_rel_pos_bias")
         tkw = dict(dim=cfg.dim, dim_head=cfg.dim_head, heads=cfg.heads,
                    peg=True, peg_causal=True, attn_dropout=cfg.attn_dropout,
-                   ff_dropout=cfg.ff_dropout, dtype=self.dtype)
+                   ff_dropout=cfg.ff_dropout, dtype=self.dtype,
+                   remat=cfg.remat)
         self.enc_spatial_transformer = MaskgitTransformer(
             depth=cfg.spatial_depth, name="enc_spatial_transformer", **tkw)
         self.enc_temporal_transformer = MaskgitTransformer(

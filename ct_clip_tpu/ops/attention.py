@@ -283,6 +283,15 @@ class MaskgitTransformer(nn.Module):
     def __call__(self, x, video_shape: Optional[Tuple[int, int, int, int]] = None,
                  attn_bias=None, context=None, self_attn_mask=None,
                  cross_attn_context_mask=None, deterministic: bool = True):
+        # Per-block gradient checkpointing, the jax.checkpoint equivalent of
+        # the reference's torch.utils.checkpoint toggle (ct_clip.py:64-74).
+        # nn.remat preserves parameter names, so checkpoints are unaffected.
+        if self.remat:
+            Attn = nn.remat(QKNormAttention, static_argnums=(5,))
+            FF = nn.remat(MaskgitFeedForward, static_argnums=(2,))
+        else:
+            Attn, FF = QKNormAttention, MaskgitFeedForward
+
         for layer in range(self.depth):
             if self.peg:
                 # Replicate reference PEG reshape: x.reshape(*video_shape, d).
@@ -295,25 +304,24 @@ class MaskgitTransformer(nn.Module):
                               name=f"layers_{layer}_peg")(grid)
                 x = peg_out.reshape(x.shape) + x
 
-            x = QKNormAttention(
+            x = Attn(
                 self.dim, dim_head=self.dim_head, heads=self.heads,
                 causal=self.causal, dropout=self.attn_dropout, dtype=self.dtype,
                 name=f"layers_{layer}_attn")(
-                    x, mask=self_attn_mask, attn_bias=attn_bias,
-                    deterministic=deterministic) + x
+                    x, self_attn_mask, None, attn_bias, deterministic) + x
 
             if self.has_cross_attn and context is not None:
-                x = QKNormAttention(
+                x = Attn(
                     self.dim, dim_context=self.dim_context, dim_head=self.dim_head,
                     heads=self.heads, causal=False, num_null_kv=self.attn_num_null_kv,
                     dropout=self.attn_dropout, dtype=self.dtype,
                     name=f"layers_{layer}_cross_attn")(
-                        x, context=context, mask=cross_attn_context_mask,
-                        deterministic=deterministic) + x
+                        x, cross_attn_context_mask, context, None,
+                        deterministic) + x
 
-            x = MaskgitFeedForward(self.dim, mult=self.ff_mult, dropout=self.ff_dropout,
-                                   dtype=self.dtype, name=f"layers_{layer}_ff")(
-                                       x, deterministic=deterministic) + x
+            x = FF(self.dim, mult=self.ff_mult, dropout=self.ff_dropout,
+                   dtype=self.dtype, name=f"layers_{layer}_ff")(
+                       x, deterministic) + x
 
         return GammaLayerNorm(self.dim, name="norm_out")(x)
 

@@ -1,5 +1,6 @@
 from .optimizer import (cawr_schedule, cosine_annealing_warmup_restarts,
-                        cosine_lr_schedule, decay_mask, get_optimizer)
+                        cosine_lr_schedule, decay_mask, get_optimizer,
+                        label_smoothing_loss, topk_accuracy)
 from .train_step import TrainState, create_train_state, make_train_step
 from .checkpoint import CheckpointManager, load_variables, save_variables
 from .trainer import CTClipTrainer, MetricLogger
@@ -13,7 +14,7 @@ from .text_classifier import (ReportClassificationDataset,
                               TextClassifierTrainer, multilabel_report,
                               sentence_shuffle)
 
-__all__ = ["cawr_schedule", "cosine_annealing_warmup_restarts",
+__all__ = ["label_smoothing_loss", "topk_accuracy", "cawr_schedule", "cosine_annealing_warmup_restarts",
            "cosine_lr_schedule", "decay_mask", "get_optimizer", "TrainState",
            "create_train_state", "make_train_step", "CheckpointManager",
            "load_variables", "save_variables", "CTClipTrainer", "MetricLogger",

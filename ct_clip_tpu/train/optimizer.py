@@ -97,3 +97,24 @@ def cosine_annealing_warmup_restarts(
         return min_lr + (cur_max - min_lr) * (1 + math.cos(math.pi * t)) / 2
 
     return schedule
+
+
+def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                         smoothing: float = 0.0) -> jnp.ndarray:
+    """Label-smoothed cross entropy (scripts/src/models/utils.py:88-100):
+    (1-s) * NLL(target) + s * mean(-logprobs), averaged over the batch."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, targets[:, None], axis=-1)[:, 0]
+    smooth = -jnp.mean(logprobs, axis=-1)
+    return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
+
+
+def topk_accuracy(logits: jnp.ndarray, targets: jnp.ndarray,
+                  topk=(1,)) -> list:
+    """Top-k correct counts (scripts/src/models/utils.py:35-38)."""
+    order = jnp.argsort(-logits, axis=-1)
+    out = []
+    for k in topk:
+        hit = jnp.any(order[:, :k] == targets[:, None], axis=-1)
+        out.append(float(jnp.sum(hit)))
+    return out

@@ -109,6 +109,15 @@ class CTClipTrainer:
                 }
                 buf_v, buf_t = [], []
 
+        if config.remat and not (model.config.ctvit.remat
+                                 and model.config.bert.remat):
+            # enable per-block jax.checkpoint on both towers; parameter
+            # structure is unchanged so converted/restored weights still fit
+            mcfg = model.config.replace(
+                ctvit=model.config.ctvit.replace(remat=True),
+                bert=model.config.bert.replace(remat=True))
+            self.model = CTCLIP(mcfg, dtype=model.dtype)
+
     # ----------------------------------------------------------------- setup
     def _init_state(self, batch) -> None:
         state = create_train_state(self.model, jax.random.PRNGKey(self.cfg.seed),

@@ -231,3 +231,134 @@ def test_metrics_and_bootstrap():
     assert set(v2v) == {1, 5}
     r2v = report_to_volume(lat, lat, topk=(1, 10))
     assert r2v[1][0] == 1.0  # identical latents retrieve themselves
+
+
+def test_filip_loss_matches_reference_math():
+    """filip_loss == an independent numpy transcription of the upstream
+    x-clip fine-grained form (ct_clip.py:829-843)."""
+    from ct_clip_tpu.models.ctclip import filip_loss
+
+    rng = np.random.RandomState(3)
+    b, L, I, d = 4, 6, 5, 8
+    tl = rng.randn(1, b, L, d).astype(np.float32)
+    il = rng.randn(1, b, I, d).astype(np.float32)
+    tl /= np.linalg.norm(tl, axis=-1, keepdims=True)
+    il /= np.linalg.norm(il, axis=-1, keepdims=True)
+    mask = np.ones((1, b, L), np.int32)
+    mask[0, :, -2:] = 0  # pad tail
+    temp = np.float32(np.exp(0.5))
+
+    loss, mv = filip_loss(jnp.asarray(tl), jnp.asarray(il),
+                          jnp.asarray(mask), jnp.asarray(temp))
+
+    # numpy reference
+    sim = np.einsum("xtd,yid->xyti", tl[0], il[0]) * temp  # (x,y,t,i)
+    mb = mask[0].astype(bool)  # (x,t)
+    t2i_tok = sim.max(-1)  # (x,y,t)
+    t2i = ((t2i_tok * mb[:, None, :]).sum(-1)
+           / np.maximum(mb.sum(-1), 1e-6)[:, None])  # (x,y)
+    neg = np.finfo(np.float32).max
+    i2t = np.where(mb[:, None, :, None], sim, -neg).max(-2).mean(-1)  # (x,y)
+
+    def ref_dir(s):
+        e = np.exp(s)
+        return float(np.mean(-np.log(np.diag(e) + 1e-20)
+                             + np.log(e.sum(-1) + 1e-20)))
+
+    expect = 0.5 * (ref_dir(t2i) + ref_dir(i2t))
+    assert abs(float(loss) - expect) < 1e-4
+    assert mv.shape == (0,)
+
+
+def test_filip_model_path_loss_and_zero_shot_shapes():
+    """End-to-end FILIP model path: loss is finite scalar; non-loss scoring
+    returns per-token (b, t, i) sims; multiview batches work."""
+    cfg = tiny_cfg(use_all_token_embeds=True, gather_negatives=False)
+    cfg = cfg.replace(dim_image=cfg.ctvit.dim)  # per-token projection
+    model = CTCLIP(cfg)
+    batch = tiny_batch(cfg, b=2, seq=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                           batch["attention_mask"], batch["video"],
+                           return_loss=True)
+    loss = model.apply(variables, batch["input_ids"], batch["attention_mask"],
+                       batch["video"], return_loss=True)
+    assert loss.shape == () and np.isfinite(float(loss))
+
+    sims = model.apply(variables, batch["input_ids"], batch["attention_mask"],
+                       batch["video"], return_loss=False)
+    ct = cfg.ctvit
+    n_img_tokens = ct.patch_t * ct.patch_hw * ct.patch_hw
+    assert sims.shape == (2, 8, n_img_tokens)
+
+    # multiview: 2 text views over the same image batch
+    ids2 = jnp.concatenate([batch["input_ids"]] * 2, 0)
+    mask2 = jnp.concatenate([batch["attention_mask"]] * 2, 0)
+    loss_mv = model.apply(variables, ids2, mask2, batch["video"],
+                          return_loss=True, num_batch_texts=2)
+    assert np.isfinite(float(loss_mv))
+
+
+def test_filip_extra_projection_and_dcl():
+    cfg = tiny_cfg(use_all_token_embeds=True, extra_latent_projection=True,
+                   decoupled_contrastive_learning=True, gather_negatives=False)
+    cfg = cfg.replace(dim_image=cfg.ctvit.dim)
+    model = CTCLIP(cfg)
+    batch = tiny_batch(cfg, b=2, seq=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                           batch["attention_mask"], batch["video"],
+                           return_loss=True)
+    loss = model.apply(variables, batch["input_ids"], batch["attention_mask"],
+                       batch["video"], return_loss=True)
+    assert np.isfinite(float(loss))
+    # image->text scoring direction uses the extra projections
+    sims = model.apply(variables, batch["input_ids"], batch["attention_mask"],
+                       batch["video"], return_loss=False, text_to_image=False)
+    assert sims.ndim == 3
+
+
+def test_label_smoothing_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    from ct_clip_tpu.train import label_smoothing_loss
+
+    rng = np.random.RandomState(4)
+    logits = rng.randn(6, 10).astype(np.float32)
+    targets = rng.randint(0, 10, (6,))
+    for s in (0.0, 0.1, 0.3):
+        got = float(label_smoothing_loss(jnp.asarray(logits),
+                                         jnp.asarray(targets), s))
+        lp = F.log_softmax(torch.tensor(logits), dim=-1)
+        nll = -lp.gather(-1, torch.tensor(targets)[:, None]).squeeze(1)
+        expect = float(((1 - s) * nll + s * (-lp.mean(-1))).mean())
+        assert abs(got - expect) < 1e-6
+
+
+def test_remat_preserves_params_and_values():
+    """Per-block jax.checkpoint (remat) must not change parameter structure,
+    forward values, or gradients — only the memory/recompute tradeoff."""
+    cfg = tiny_cfg(gather_negatives=False)
+    cfg_r = cfg.replace(ctvit=cfg.ctvit.replace(remat=True),
+                        bert=cfg.bert.replace(remat=True))
+    model, model_r = CTCLIP(cfg), CTCLIP(cfg_r)
+    batch = tiny_batch(cfg, b=2, seq=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                           batch["attention_mask"], batch["video"],
+                           return_loss=True)
+    variables_r = model_r.init(jax.random.PRNGKey(0), batch["input_ids"],
+                               batch["attention_mask"], batch["video"],
+                               return_loss=True)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(variables_r))
+
+    def loss(m, v):
+        return m.apply(v, batch["input_ids"], batch["attention_mask"],
+                       batch["video"], return_loss=True)
+
+    l0, l1 = float(loss(model, variables)), float(loss(model_r, variables))
+    assert abs(l0 - l1) < 1e-5
+    g0 = jax.grad(lambda p: loss(model, {**variables, "params": p}))(
+        variables["params"])
+    g1 = jax.grad(lambda p: loss(model_r, {**variables, "params": p}))(
+        variables["params"])
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree.leaves(diffs)) < 1e-5
