@@ -123,6 +123,96 @@ def cmd_bootstrap(args):
     print(f"wrote bootstrap tables to {out}")
 
 
+def cmd_vocabfine(args):
+    from .data import CTReportDatasetInfer
+    from .train.checkpoint import save_variables
+    from .train.finetune import train_vocabfine
+
+    cfg, model = _common_model(args)
+    variables = _load_variables(args, cfg, model)
+    tok = _tokenizer(args)
+    ds = CTReportDatasetInfer(args.data, args.reports, args.meta, args.labels)
+    variables, history = train_vocabfine(
+        model, variables, tok, ds, lr=args.lr, wd=args.wd,
+        epochs=args.epochs, warmup_length=args.warmup,
+        batch_size=args.batch_size, num_workers=args.workers)
+    out = Path(args.results)
+    out.mkdir(parents=True, exist_ok=True)
+    save_variables(str(out / "vocabfine_ckpt"), variables)
+    print(f"final loss {history[-1]['loss']:.6f} -> {out}")
+
+
+def cmd_lipro_train(args):
+    import pickle
+
+    from .data import CTReportDatasetInfer
+    from .inference.lipro import train_lipro
+
+    cfg, model = _common_model(args)
+    variables = _load_variables(args, cfg, model)
+    ds = CTReportDatasetInfer(args.data, args.reports, args.meta, args.labels)
+    head, head_params, history = train_lipro(
+        model, variables, ds, lr=args.lr, wd=args.wd, epochs=args.epochs,
+        batch_size=args.batch_size, num_workers=args.workers)
+    out = Path(args.results)
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "lipro_head.pkl", "wb") as f:
+        pickle.dump({"params": head_params,
+                     "num_classes": head.num_classes,
+                     "dropout": head.dropout}, f)
+    print(f"final loss {history[-1]['loss']:.6f} -> {out}")
+
+
+def cmd_lipro_infer(args):
+    import pickle
+
+    from .data import CTReportDatasetInfer
+    from .inference.lipro import evaluate_lipro
+    from .train.finetune import LiProHead
+
+    cfg, model = _common_model(args)
+    variables = _load_variables(args, cfg, model)
+    with open(args.head, "rb") as f:
+        saved = pickle.load(f)
+    head = LiProHead(num_classes=saved["num_classes"],
+                     dropout=saved["dropout"])
+    ds = CTReportDatasetInfer(args.data, args.reports, args.meta, args.labels)
+    out = evaluate_lipro(model, variables, head, saved["params"], ds,
+                         args.results, num_workers=args.workers)
+    print(f"scored {len(out['accessions'])} volumes -> {args.results}")
+
+
+def cmd_retrieval(args):
+    from .evals.retrieval import report_to_volume, volume_to_volume
+
+    def load_dir(d):
+        names = sorted(Path(d).glob("*.npz"))
+        return [n.stem for n in names], np.stack(
+            [np.load(n)["arr"] for n in names])
+
+    accs, image = load_dir(Path(args.latents) / "image_latents")
+    image = image.reshape(len(accs), -1)
+    if args.labels_npz:
+        labels = np.load(args.labels_npz)["data"]
+        print("volume-to-volume:", volume_to_volume(image, labels))
+    text_dir = Path(args.latents) / "text_latents"
+    if text_dir.exists():
+        _, text = load_dir(text_dir)
+        print("report-to-volume:", report_to_volume(text, image))
+
+
+def cmd_tsne(args):
+    from .evals.tsne import tsne_plot
+
+    names = sorted(Path(args.latents).glob("*.npz"))
+    lat = np.stack([np.load(n)["arr"].reshape(-1) for n in names])
+    labels = (np.load(args.labels_npz)["data"] if args.labels_npz
+              else np.zeros((len(lat), 1)))
+    emb = tsne_plot(lat, labels, out_path=args.out)
+    np.savez(Path(args.out).with_suffix(".npz"), emb=emb)
+    print(f"t-SNE embedding ({emb.shape}) -> {args.out}")
+
+
 def cmd_radbert_train(args):
     from .config import RadBertConfig
     from .models import RadBertClassifier
@@ -138,7 +228,50 @@ def cmd_radbert_train(args):
     valid_ds = (ReportClassificationDataset(args.reports_valid)
                 if args.reports_valid else None)
     result = trainer.train(train_ds, valid_ds, epochs=args.epochs)
+    if args.out:
+        import pickle
+        with open(args.out, "wb") as f:
+            pickle.dump({"params": trainer.params}, f)
     print(f"best loss {result['best_loss']:.4f}")
+
+
+def _radbert_from_ckpt(args):
+    import pickle
+
+    from .config import RadBertConfig
+    from .models import RadBertClassifier
+    from .train.text_classifier import TextClassifierTrainer
+
+    tok = _tokenizer(args)
+    cfg = RadBertConfig(vocab_size=tok.vocab_size)
+    trainer = TextClassifierTrainer(RadBertClassifier(cfg), tok)
+    with open(args.head, "rb") as f:
+        saved = pickle.load(f)
+    # initialize jitted fns, then install trained params
+    from .train.text_classifier import ReportClassificationDataset
+    ds = ReportClassificationDataset(args.reports)
+    batch = next(ds.batches(tok, 1, shuffle=False))
+    trainer._init(batch)
+    trainer.params = saved["params"]
+    return trainer, ds
+
+
+def cmd_radbert_infer(args):
+    trainer, ds = _radbert_from_ckpt(args)
+    trainer.infer_to_csv(ds, args.out)
+    print(f"wrote inferred labels -> {args.out}")
+
+
+def cmd_radbert_eval(args):
+    import json
+
+    from .train.text_classifier import multilabel_report
+
+    trainer, ds = _radbert_from_ckpt(args)
+    probs, labels = trainer.predict_dataset(ds)
+    rep = multilabel_report(labels, probs)
+    Path(args.out).write_text(json.dumps(rep["report"], indent=2))
+    print(f"wrote classification report -> {args.out}")
 
 
 def main(argv=None):
@@ -183,6 +316,48 @@ def main(argv=None):
     b.add_argument("--samples", type=int, default=1000)
     b.set_defaults(fn=cmd_bootstrap)
 
+    vf = sub.add_parser("vocabfine")
+    for name in ["--data", "--reports", "--meta", "--labels"]:
+        vf.add_argument(name, required=True)
+    vf.add_argument("--ckpt"); vf.add_argument("--results", default="vocabfine")
+    vf.add_argument("--lr", type=float, default=1e-5)
+    vf.add_argument("--wd", type=float, default=0.1)
+    vf.add_argument("--warmup", type=int, default=500)
+    vf.add_argument("--epochs", type=int, default=1)
+    vf.add_argument("--batch-size", type=int, default=1)
+    vf.add_argument("--workers", type=int, default=8)
+    vf.set_defaults(fn=cmd_vocabfine)
+
+    lt = sub.add_parser("lipro-train")
+    for name in ["--data", "--reports", "--meta", "--labels"]:
+        lt.add_argument(name, required=True)
+    lt.add_argument("--ckpt"); lt.add_argument("--results", default="lipro")
+    lt.add_argument("--lr", type=float, default=1e-3)
+    lt.add_argument("--wd", type=float, default=0.01)
+    lt.add_argument("--epochs", type=int, default=10)
+    lt.add_argument("--batch-size", type=int, default=8)
+    lt.add_argument("--workers", type=int, default=8)
+    lt.set_defaults(fn=cmd_lipro_train)
+
+    li = sub.add_parser("lipro-infer")
+    for name in ["--data", "--reports", "--meta", "--labels", "--head"]:
+        li.add_argument(name, required=True)
+    li.add_argument("--ckpt"); li.add_argument("--results", default="lipro_infer")
+    li.add_argument("--workers", type=int, default=8)
+    li.set_defaults(fn=cmd_lipro_infer)
+
+    rv = sub.add_parser("retrieval")
+    rv.add_argument("--latents", required=True,
+                    help="dir with image_latents/ and text_latents/")
+    rv.add_argument("--labels-npz")
+    rv.set_defaults(fn=cmd_retrieval)
+
+    ts = sub.add_parser("tsne")
+    ts.add_argument("--latents", required=True, help="dir of latent .npz files")
+    ts.add_argument("--labels-npz")
+    ts.add_argument("--out", default="tsne.png")
+    ts.set_defaults(fn=cmd_tsne)
+
     r = sub.add_parser("radbert-train")
     r.add_argument("--reports", required=True)
     r.add_argument("--reports-valid")
@@ -190,7 +365,20 @@ def main(argv=None):
     r.add_argument("--batch-size", type=int, default=32)
     r.add_argument("--epochs", type=int, default=10)
     r.add_argument("--augment", type=float, default=0.0)
+    r.add_argument("--out", help="pickle path for trained params")
     r.set_defaults(fn=cmd_radbert_train)
+
+    ri = sub.add_parser("radbert-infer")
+    ri.add_argument("--reports", required=True)
+    ri.add_argument("--head", required=True)
+    ri.add_argument("--out", default="inferred.csv")
+    ri.set_defaults(fn=cmd_radbert_infer)
+
+    re_ = sub.add_parser("radbert-eval")
+    re_.add_argument("--reports", required=True)
+    re_.add_argument("--head", required=True)
+    re_.add_argument("--out", default="radbert_report.json")
+    re_.set_defaults(fn=cmd_radbert_eval)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -144,15 +144,28 @@ def filip_loss(text_tokens: jnp.ndarray, image_tokens: jnp.ndarray,
 
 
 class CTCLIP(nn.Module):
+    """Dual-tower CLIP.  By default builds the production towers (HF-parity
+    BERT + CTViT); pass `text_encoder` / `image_encoder` modules to inject
+    custom towers — e.g. the fallback `TextTransformer`/`VisionTransformer`
+    from models/towers.py, mirroring the reference's built-in towers used
+    when no encoder is injected (ct_clip.py:468-489).  A custom text encoder
+    must map (ids, mask) -> (b, n, dim_text) with a CLS-style token at
+    position 0; a custom image encoder maps video -> (b, n, ...) tokens that
+    are mean-pooled over axis 1 and flattened to dim_image."""
+
     config: CTCLIPConfig
     dtype: jnp.dtype = jnp.float32
+    text_encoder: Optional[nn.Module] = None
+    image_encoder: Optional[nn.Module] = None
 
     def setup(self):
         cfg = self.config
-        self.text_transformer = BertModel(cfg.bert, dtype=self.dtype,
-                                          name="text_transformer")
-        self.visual_transformer = CTViT(cfg.ctvit, dtype=self.dtype,
-                                        name="visual_transformer")
+        if self.text_encoder is None:
+            self.text_transformer = BertModel(cfg.bert, dtype=self.dtype,
+                                              name="text_transformer")
+        if self.image_encoder is None:
+            self.visual_transformer = CTViT(cfg.ctvit, dtype=self.dtype,
+                                            name="visual_transformer")
         dense = lambda name: nn.Dense(cfg.dim_latent, use_bias=False,
                                       dtype=self.dtype, name=name)
         self.to_text_latent = dense("to_text_latent")
@@ -163,10 +176,24 @@ class CTCLIP(nn.Module):
         self.temperature = self.param("temperature", nn.initializers.constant(
             self.config.temperature_init), ())
 
-    def encode_text(self, input_ids, attention_mask, deterministic=True,
-                    return_encodings=False):
+    def _text_tokens(self, input_ids, attention_mask, deterministic):
+        if self.text_encoder is not None:
+            return self.text_encoder(input_ids, attention_mask,
+                                     deterministic=deterministic)
         enc_text, _ = self.text_transformer(input_ids, attention_mask,
                                             deterministic=deterministic)
+        return enc_text
+
+    def _image_tokens(self, video, train, deterministic):
+        if self.image_encoder is not None:
+            return self.image_encoder(video, deterministic=deterministic)
+        return self.visual_transformer(video, return_encoded_tokens=True,
+                                       train=train,
+                                       deterministic=deterministic)
+
+    def encode_text(self, input_ids, attention_mask, deterministic=True,
+                    return_encodings=False):
+        enc_text = self._text_tokens(input_ids, attention_mask, deterministic)
         if return_encodings:
             return enc_text
         text_embeds = enc_text[:, 0]  # CLS pooling (ct_clip.py:762)
@@ -174,9 +201,7 @@ class CTCLIP(nn.Module):
 
     def encode_image(self, video, train=False, deterministic=True,
                      return_encodings=False):
-        enc_image = self.visual_transformer(video, return_encoded_tokens=True,
-                                            train=train,
-                                            deterministic=deterministic)
+        enc_image = self._image_tokens(video, train, deterministic)
         if return_encodings:
             return enc_image
         pooled = jnp.mean(enc_image, axis=1)  # temporal mean (ct_clip.py:724)
@@ -193,11 +218,8 @@ class CTCLIP(nn.Module):
         channels-last.  Mirrors CTCLIP.forward (ct_clip.py:614-901)."""
         cfg = self.config
 
-        enc_text, _ = self.text_transformer(input_ids, attention_mask,
-                                            deterministic=deterministic)
-        enc_image = self.visual_transformer(video, return_encoded_tokens=True,
-                                            train=train,
-                                            deterministic=deterministic)
+        enc_text = self._text_tokens(input_ids, attention_mask, deterministic)
+        enc_image = self._image_tokens(video, train, deterministic)
 
         pooled = jnp.mean(enc_image, axis=1)
         image_embeds = pooled.reshape(pooled.shape[0], -1)

@@ -38,7 +38,11 @@ class TextTransformer(nn.Module):
 
         rot = None
         if self.rotary_pos_emb:
-            rot = rotary_freqs(n + 1, min(self.dim_head, 32))
+            # reference computes freqs for n+1 positions (ct_clip.py:322-324),
+            # which only fits the non-causal CLS-prepended sequence; size the
+            # freqs to the actual final length so causal+rotary also works.
+            rot = rotary_freqs(n + (0 if self.causal else 1),
+                               min(self.dim_head, 32))
         else:
             pos = nn.Embed(self.max_seq_len, self.dim, dtype=self.dtype,
                            name="abs_pos_emb")(jnp.arange(n))

@@ -6,8 +6,8 @@ from .checkpoint import CheckpointManager, load_variables, save_variables
 from .trainer import CTClipTrainer, MetricLogger
 from .finetune import (LIPRO_POS_WEIGHTS, LiProHead, bce_with_logits,
                        lipro_predict, make_lipro_latent_fn, make_lipro_step,
-                       make_vocabfine_step, vocabfine_loss,
-                       vocabfine_prompt_batch)
+                       make_vocabfine_step, train_vocabfine,
+                       vocabfine_loss, vocabfine_prompt_batch)
 from .ctvit_trainer import CTViTTrainer, Discriminator3D, ema_update
 from .maskgit_trainer import MaskGitTrainer
 from .text_classifier import (ReportClassificationDataset,
@@ -20,7 +20,7 @@ __all__ = ["label_smoothing_loss", "topk_accuracy", "cawr_schedule", "cosine_ann
            "load_variables", "save_variables", "CTClipTrainer", "MetricLogger",
            "LIPRO_POS_WEIGHTS", "LiProHead", "bce_with_logits",
            "lipro_predict", "make_lipro_latent_fn", "make_lipro_step",
-           "make_vocabfine_step", "vocabfine_loss", "vocabfine_prompt_batch",
+           "make_vocabfine_step", "train_vocabfine", "vocabfine_loss", "vocabfine_prompt_batch",
            "CTViTTrainer", "Discriminator3D", "ema_update", "MaskGitTrainer",
            "ReportClassificationDataset", "TextClassifierTrainer",
            "multilabel_report", "sentence_shuffle"]

@@ -165,3 +165,64 @@ def lipro_predict(head: LiProHead, head_params, latent_fn, video) -> np.ndarray:
     latents = latent_fn(video)
     logits = head.apply({"params": head_params}, latents, deterministic=True)
     return np.asarray(jax.nn.sigmoid(logits))
+
+
+def train_vocabfine(model: CTCLIP, variables, tokenizer, dataset, *,
+                    lr: float = 1e-5, wd: float = 0.1, epochs: int = 1,
+                    warmup_length: int = 500, batch_size: int = 1,
+                    num_workers: int = 8, seed: int = 0,
+                    compute_dtype=jnp.float32, max_steps: Optional[int] = None):
+    """End-to-end VocabFine harness (ct_vocabfine_train.py:22-176): every
+    parameter trains (requires_grad=True for all, :46-50), AdamW + cosine_lr
+    warmup schedule (:68-69), prompt-pair MSE via `vocabfine_loss`.
+
+    TPU-native: the 36 prompts are tokenized once (they only depend on the
+    pathology list; GT labels reorder pair elements inside the loss), volumes
+    are batched, and the whole update is one jitted step.
+
+    Returns (variables, history)."""
+    from ..data.loader import VolumeLoader
+    from ..ops.resample import preprocess_volume
+    from .optimizer import cosine_lr_schedule
+
+    prompts = vocabfine_prompt_batch(tokenizer)
+    prompt_ids = jnp.asarray(prompts["input_ids"])
+    prompt_mask = jnp.asarray(prompts["attention_mask"])
+
+    steps_per_epoch = max(1, len(dataset) // batch_size)
+    total = epochs * steps_per_epoch
+    schedule = cosine_lr_schedule(lr, warmup_length, total)
+    tx = optax.adamw(schedule, weight_decay=wd)
+    params, vq = variables["params"], variables.get("vq", {})
+    opt_state = tx.init(params)
+    step_fn = make_vocabfine_step(model, tx)
+
+    history = []
+    step = 0
+    for epoch in range(epochs):
+        buf_v, buf_l = [], []
+        for sample in VolumeLoader(dataset, num_workers=num_workers,
+                                   prefetch=2 * batch_size, shuffle=True,
+                                   seed=seed + epoch):
+            vol = preprocess_volume(
+                jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
+                jnp.float32(sample.slope), jnp.float32(sample.intercept),
+                true_sizes=jnp.asarray(sample.true_sizes),
+                clip_before_resample=dataset.clip_before_resample)
+            buf_v.append(vol[..., None])
+            buf_l.append(sample.meta.labels)
+            if len(buf_v) < batch_size:
+                continue
+            video = jnp.stack(buf_v).astype(compute_dtype)
+            labels = jnp.asarray(np.stack(buf_l))
+            buf_v, buf_l = [], []
+            params, vq, opt_state, loss = step_fn(
+                params, vq, opt_state, prompt_ids, prompt_mask, video, labels,
+                jax.random.fold_in(jax.random.PRNGKey(seed), step))
+            history.append({"step": step, "epoch": epoch,
+                            "loss": float(loss),
+                            "lr": float(schedule(step))})
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                return {"params": params, "vq": vq}, history
+    return {"params": params, "vq": vq}, history
