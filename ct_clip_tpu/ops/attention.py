@@ -96,6 +96,14 @@ class ContinuousPositionBias(nn.Module):
 def _sdpa(q, k, v, bias=None, mask=None, causal=False, heads_alibi=None,
           dropout_rng=None, dropout_rate=0.0, deterministic=True):
     """Shared softmax(QK^T + bias) V core.  q,k,v: (b, h, n, d); softmax in f32."""
+    dropout_active = dropout_rate > 0.0 and not deterministic
+    if (not causal and mask is None and not dropout_active
+            and q.shape[-2] == k.shape[-2]):
+        # fused Pallas path: scores stay in VMEM (ops/pallas/attention.py);
+        # identical numerics, XLA fallback off-TPU
+        from .pallas.attention import fused_attention
+
+        return fused_attention(q, k, v, bias)
     sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
     i, j = sim.shape[-2], sim.shape[-1]
     if bias is not None:

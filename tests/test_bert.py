@@ -29,6 +29,7 @@ def _hf_bert(tiny_cfg):
 
 
 def test_bert_matches_hf_transformers():
+    torch.manual_seed(0)
     cfg = BertConfig(**TINY, hidden_dropout=0.0, attention_dropout=0.0)
     hf = _hf_bert(cfg)
 
@@ -52,6 +53,7 @@ def test_bert_matches_hf_transformers():
 
 
 def test_roberta_matches_hf_transformers():
+    torch.manual_seed(0)
     from transformers import RobertaConfig as HFC, RobertaModel as HFM
     cfg = RadBertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
                         num_attention_heads=4, intermediate_size=64,

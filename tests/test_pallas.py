@@ -64,3 +64,72 @@ def test_pallas_kernel_on_tpu_if_available():
     out = _pallas_rearrange(video, 10, 20)
     ref = _gather_rearrange(video, 10, 20)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# fused attention kernel (ops/pallas/attention.py)
+# ---------------------------------------------------------------------------
+
+def _attn_inputs(b=4, h=2, n=256, d=32, bias_shape=None, seed=5):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+    bias = (jnp.asarray(rng.randn(*bias_shape).astype(np.float32))
+            if bias_shape else None)
+    return mk(), mk(), mk(), bias
+
+
+def test_fused_attention_matches_xla_reference():
+    from ct_clip_tpu.ops.pallas.attention import _xla_attention, fused_attention
+
+    for bias_shape in (None, (1, 2, 256, 256), (1, 1, 256, 256)):
+        q, k, v, bias = _attn_inputs(bias_shape=bias_shape)
+        got = fused_attention(q, k, v, bias)
+        ref = _xla_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_fused_attention_grad_matches_xla():
+    from ct_clip_tpu.ops.pallas.attention import _xla_attention, fused_attention
+
+    q, k, v, bias = _attn_inputs(bias_shape=(1, 2, 256, 256))
+
+    def loss_fused(q_, k_, v_, b_):
+        return jnp.sum(fused_attention(q_, k_, v_, b_) ** 2)
+
+    def loss_ref(q_, k_, v_, b_):
+        return jnp.sum(_xla_attention(q_, k_, v_, b_) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_attention_plan_gating():
+    """Shapes the kernel can't serve must route to XLA (plan None)."""
+    from ct_clip_tpu.ops.pallas.attention import _plan
+
+    assert _plan((4, 2, 24, 32), 2, None) is None          # n too small
+    assert _plan((4, 2, 256, 32), 2, (4, 2, 256, 256)) is None  # per-batch bias
+    assert _plan((4, 2, 250, 32), 2, None) is None          # n % 8
+    assert _plan((4, 2, 256, 32), 2, (1, 2, 128, 256)) is None  # non-square
+
+
+def test_fused_attention_kernel_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.attention import (_pallas_attention, _plan,
+                                                  _xla_attention)
+
+    b, h, n, d = 8, 8, 576, 32
+    rng = np.random.RandomState(7)
+    mk = lambda: jnp.asarray(rng.randn(b, h, n, d).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    bias = jnp.asarray(rng.randn(1, h, n, n).astype(np.float32))
+    g = _plan(q.shape, 2, bias.shape)
+    assert g is not None
+    got = _pallas_attention(q, k, v, bias, g).astype(jnp.float32)
+    ref = _xla_attention(q, k, v, bias).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2)
