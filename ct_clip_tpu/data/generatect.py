@@ -87,7 +87,8 @@ class VideoTextDataset:
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, index: int) -> VideoTextSample:
+    def _normalized_frames(self, index: int) -> np.ndarray:
+        """(Z, X, Y) HU-rescaled, PNMS-flipped, clipped, /1000 frames."""
         nii, meta_path = self.samples[index]
         vol, _hdr = read_volume(nii)  # (X, Y, Z)
         slope, intercept, flip = 1.0, 0.0, False
@@ -103,7 +104,11 @@ class VideoTextDataset:
         img = img.transpose(2, 0, 1)  # (Z, X, Y) = frames first
         if flip:
             img = img[::-1]
-        img = np.clip(img, -1000, 1000) / 1000.0
+        return np.clip(img, -1000, 1000) / 1000.0
+
+    def __getitem__(self, index: int) -> VideoTextSample:
+        nii, _ = self.samples[index]
+        img = self._normalized_frames(index)
         video = resize_video(img, (self.num_frames, self.image_size,
                                    self.image_size))
         name = os.path.basename(nii)
@@ -120,11 +125,11 @@ class VideoTextDatasetSuperres(VideoTextDataset):
         self.high_size = high_size
 
     def __getitem__(self, index: int):
-        nii, meta_path = self.samples[index]
+        nii, _ = self.samples[index]
         low = super().__getitem__(index)
-        vol, _ = read_volume(nii)
-        img = vol.transpose(2, 0, 1)
-        img = np.clip(img, -1000, 1000) / 1000.0
+        # high-res pair goes through the SAME slope/intercept/flip/clip
+        # normalization as the low-res view, only the target size differs
+        img = self._normalized_frames(index)
         high = resize_video(img, (self.num_frames, self.high_size,
                                   self.high_size)).astype(np.float32)
         return low, VideoTextSample(video=high, text=low.text, path=nii)
