@@ -130,6 +130,7 @@ class CTCLIPConfig(_Base):
     use_mlm: bool = False
     text_ssl_loss_weight: float = 0.05
     use_visual_ssl: bool = False
+    visual_ssl_type: str = "simsiam"  # or "simclr" (ct_clip.py:516-528)
     image_ssl_loss_weight: float = 0.05
     multiview_loss_weight: float = 0.1
     temperature_init: float = 1.0

@@ -176,6 +176,33 @@ class CTCLIP(nn.Module):
         self.temperature = self.param("temperature", nn.initializers.constant(
             self.config.temperature_init), ())
 
+        # auxiliary SSL objectives, sharing the tower weights
+        # (ct_clip.py:500-528; losses added at :892-895)
+        if cfg.use_mlm:
+            from .mlm import MLM
+
+            self.mlm = MLM(
+                encode_fn=lambda ids, m: self._text_tokens(ids, m, False),
+                dim=cfg.dim_text, num_tokens=cfg.bert.vocab_size,
+                pad_token_id=cfg.bert.pad_token_id, name="mlm")
+        if cfg.use_visual_ssl:
+            from .visual_ssl import SimCLR, SimSiam
+
+            def image_embed(video):
+                # train=False: codebook EMA updates happen only in the main
+                # image pass, not in the SSL augmented views
+                tokens = self._image_tokens(video, False, False)
+                pooled = jnp.mean(tokens, axis=1)
+                # mean over all token positions -> (b, token dim); the
+                # reference taps a NetWrapper hidden layer of the tower
+                # (visual_ssl.py:141-203) — the token dim is that tap here
+                return pooled.reshape(pooled.shape[0], -1,
+                                      tokens.shape[-1]).mean(axis=1)
+
+            ssl_cls = SimSiam if cfg.visual_ssl_type == "simsiam" else SimCLR
+            self.visual_ssl = ssl_cls(encode_fn=image_embed,
+                                      dim=cfg.ctvit.dim, name="visual_ssl")
+
     def _text_tokens(self, input_ids, attention_mask, deterministic):
         if self.text_encoder is not None:
             return self.text_encoder(input_ids, attention_mask,
@@ -234,7 +261,8 @@ class CTCLIP(nn.Module):
                                     num_batch_texts=num_batch_texts,
                                     num_batch_images=num_batch_images,
                                     text_to_image=text_to_image,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name,
+                                    input_ids=input_ids, video=video)
 
         text_embeds = enc_text[:, 0]
         text_latents = l2norm(self.to_text_latent(text_embeds))
@@ -273,10 +301,15 @@ class CTCLIP(nn.Module):
             image_to_text_latents=extra_mn,
             axis_name=axis_name if cfg.gather_negatives else None)
 
-        return self._weighted_total(cl_loss, multiview, m, n)
+        return self._weighted_total(cl_loss, multiview, m, n,
+                                    input_ids, attention_mask, video)
 
-    def _weighted_total(self, cl_loss, multiview, m, n):
-        """Weighted loss sum (ct_clip.py:885-899)."""
+    def _weighted_total(self, cl_loss, multiview, m, n,
+                        input_ids=None, attention_mask=None, video=None):
+        """Weighted loss sum incl. the SSL aux losses (ct_clip.py:885-899).
+
+        When use_mlm / use_visual_ssl are on, callers computing the loss must
+        provide "mlm" / "ssl" rng streams (the trainer does)."""
         cfg = self.config
         is_multiview = (m > 1 or n > 1)
         multiview_weight = cfg.multiview_loss_weight if is_multiview else 0.0
@@ -284,13 +317,20 @@ class CTCLIP(nn.Module):
                            + cfg.image_ssl_loss_weight * float(cfg.use_visual_ssl)
                            + multiview_weight)
         loss = cl_loss * cl_weight
+        if cfg.use_mlm and input_ids is not None:
+            text_ssl = self.mlm(input_ids, attention_mask,
+                                rng=self.make_rng("mlm"))
+            loss = loss + text_ssl * cfg.text_ssl_loss_weight
+        if cfg.use_visual_ssl and video is not None:
+            image_ssl = self.visual_ssl(video, self.make_rng("ssl"))
+            loss = loss + image_ssl * cfg.image_ssl_loss_weight
         if is_multiview:
             loss = loss + jnp.mean(multiview) * multiview_weight
         return loss
 
     def _filip_path(self, enc_text, enc_image, attention_mask, *, return_loss,
                     return_latents, num_batch_texts, num_batch_images,
-                    text_to_image, axis_name):
+                    text_to_image, axis_name, input_ids=None, video=None):
         """Fine-grained all-token-embeds path (FILIP; see `filip_loss`).
 
         Image tokens are the encoded VQ grid flattened over (t, h, w); the
@@ -335,4 +375,5 @@ class CTCLIP(nn.Module):
             extra_tokens=None if extra is None else (resh(extra[0], m),
                                                      resh(extra[1], n)),
             axis_name=axis_name if cfg.gather_negatives else None)
-        return self._weighted_total(cl_loss, multiview, m, n)
+        return self._weighted_total(cl_loss, multiview, m, n,
+                                    input_ids, attention_mask, video)

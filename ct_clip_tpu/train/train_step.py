@@ -35,7 +35,8 @@ class TrainState:
 def create_train_state(model: CTCLIP, rng: jax.Array, sample_batch,
                        tx: optax.GradientTransformation) -> TrainState:
     variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+         "mlm": jax.random.fold_in(rng, 2), "ssl": jax.random.fold_in(rng, 3)},
         sample_batch["input_ids"], sample_batch["attention_mask"],
         sample_batch["video"], return_loss=True)
     params = variables["params"]
@@ -54,7 +55,8 @@ def make_train_step(model: CTCLIP, tx: optax.GradientTransformation,
             {"params": params, "vq": vq},
             batch["input_ids"], batch["attention_mask"], batch["video"],
             return_loss=True, train=True, deterministic=False,
-            rngs={"dropout": rng}, mutable=["vq"])
+            rngs={"dropout": rng, "mlm": jax.random.fold_in(rng, 1),
+                  "ssl": jax.random.fold_in(rng, 2)}, mutable=["vq"])
         return loss, new_vars.get("vq", vq)
 
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:

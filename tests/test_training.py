@@ -362,3 +362,62 @@ def test_remat_preserves_params_and_values():
         variables["params"])
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
     assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+def test_aux_ssl_losses_added_to_total():
+    """use_mlm / use_visual_ssl must ADD their losses with the reference
+    weights (ct_clip.py:892-895), not just down-weight the CL term."""
+    cfg = tiny_cfg(gather_negatives=False)
+    cfg_aux = tiny_cfg(gather_negatives=False, use_mlm=True,
+                       use_visual_ssl=True, visual_ssl_type="simclr")
+    batch = tiny_batch(cfg, b=2, seq=8)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "mlm": jax.random.PRNGKey(2), "ssl": jax.random.PRNGKey(3)}
+    model = CTCLIP(cfg_aux)
+    variables = model.init(rngs, batch["input_ids"], batch["attention_mask"],
+                           batch["video"], return_loss=True)
+    assert "mlm" in variables["params"] and "visual_ssl" in variables["params"]
+
+    apply_rngs = {k: rngs[k] for k in ("dropout", "mlm", "ssl")}
+    loss = model.apply(variables, batch["input_ids"],
+                       batch["attention_mask"], batch["video"],
+                       return_loss=True, rngs=apply_rngs)
+    assert np.isfinite(float(loss))
+
+    # MLM loss at init is ~log(vocab) CE on masked tokens; verify the total
+    # moves by ~weight * mlm when toggling the flag on identical params
+    model_plain = CTCLIP(cfg_aux.replace(use_mlm=False, use_visual_ssl=False))
+    plain_params = {k: v for k, v in variables["params"].items()
+                    if k not in ("mlm", "visual_ssl")}
+    loss_plain = model_plain.apply(
+        {"params": plain_params, "vq": variables.get("vq", {})},
+        batch["input_ids"], batch["attention_mask"], batch["video"],
+        return_loss=True, rngs=apply_rngs)
+    # cl_weight differs (1.0 vs 0.9); both finite, aux-model loss includes
+    # a positive CE term so it should exceed the down-weighted CL alone
+    assert float(loss) != float(loss_plain)
+
+    # gradients flow into the shared towers through the aux losses
+    def loss_fn(p):
+        return model.apply({"params": p, "vq": variables.get("vq", {})},
+                           batch["input_ids"], batch["attention_mask"],
+                           batch["video"], return_loss=True, rngs=apply_rngs)
+    g = jax.grad(loss_fn)(variables["params"])
+    gmax = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_mlm_standalone_masking_semantics():
+    from ct_clip_tpu.models.mlm import subset_mask_with_prob
+
+    valid = jnp.asarray(np.ones((4, 20), bool))
+    mask = subset_mask_with_prob(jax.random.PRNGKey(0), valid, 0.15)
+    assert mask.shape == (4, 20)
+    np.testing.assert_array_equal(np.asarray(mask.sum(-1)),
+                                  np.full(4, 3))  # ceil(0.15*20)
+    # rows with fewer valid positions mask fewer
+    valid2 = valid.at[0, 10:].set(False)
+    m2 = subset_mask_with_prob(jax.random.PRNGKey(0), valid2, 0.15)
+    assert int(m2[0].sum()) == 2  # ceil(0.15*10)
+    assert not bool(jnp.any(m2[0, 10:]))
