@@ -153,3 +153,27 @@ def test_loader_infinite_cycles(tmp_path):
     it = iter(loader)
     got = [next(it).meta.accession for _ in range(5)]
     assert len(got) == 5
+
+
+def test_native_nifti_reader_parity(tmp_path):
+    """C++ decoder output must match the pure-python reader bit-for-bit
+    (gz and raw, int16 + float32, slope/inter scaling)."""
+    from ct_clip_tpu import native
+
+    if not native.available() and not native.build():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.RandomState(7)
+    vols = [rng.randint(-1024, 3000, size=(23, 19, 11)).astype(np.int16),
+            rng.randn(8, 9, 10).astype(np.float32)]
+    for i, vol in enumerate(vols):
+        for ext in (".nii", ".nii.gz"):
+            p = tmp_path / f"n{i}{ext}"
+            write_volume(p, vol, pixdim=(0.7, 0.8, 1.5))
+            got = native.read_volume_native(str(p))
+            assert got is not None
+            nvol, pixdim, slope, inter = got
+            pvol, hdr = read_volume(p)
+            scaled = nvol if slope == 0 else nvol * (slope or 1.0) + inter
+            np.testing.assert_allclose(np.asarray(scaled, np.float32), pvol)
+            np.testing.assert_allclose(pixdim, hdr.pixdim, rtol=1e-6)

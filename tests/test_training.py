@@ -80,7 +80,7 @@ def test_contrastive_loss_all_gather_equivalence():
     """shard_map all-gather loss over 8 CPU devices == single-device loss on
     the full batch (the pod-wide negatives capability)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     rng = np.random.RandomState(2)
     b, d = 16, 8
