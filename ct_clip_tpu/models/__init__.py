@@ -3,12 +3,12 @@ from .ctvit import CTViT, from_torch_layout
 from .ctclip import CTCLIP, contrastive_loss
 from .mlm import MLM, subset_mask_with_prob
 from .visual_ssl import SimCLR, SimSiam, nt_xent_loss, simsiam_loss
-from .maskgit import (MaskGit, TokenCritic, cosine_schedule_mask,
+from .maskgit import (MaskGit, SelfCritic, TokenCritic, cosine_schedule_mask,
                       critic_train_loss, gumbel_sample, maskgit_train_loss,
                       sample_tokens)
 
 __all__ = ["BertModel", "RadBertClassifier", "CTViT", "from_torch_layout",
            "CTCLIP", "contrastive_loss", "MLM", "subset_mask_with_prob",
            "SimCLR", "SimSiam", "nt_xent_loss", "simsiam_loss", "MaskGit",
-           "TokenCritic", "cosine_schedule_mask", "critic_train_loss",
+           "TokenCritic", "SelfCritic", "cosine_schedule_mask", "critic_train_loss",
            "gumbel_sample", "maskgit_train_loss", "sample_tokens"]

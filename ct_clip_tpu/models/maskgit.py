@@ -119,6 +119,33 @@ class MaskGit(nn.Module):
         return nn.Dense(self.num_tokens, dtype=self.dtype, name="to_logits")(x)
 
 
+class SelfCritic(nn.Module):
+    """Critic head over the MaskGit's own embeddings — no separate tower
+    (MaskGITTransformer.py:305-334, Nijkamp et al. self-critic).
+
+    Shares the generator weights: its variables nest the trained MaskGit
+    params under "maskgit" (see `wrap_variables`).  Same scoring interface
+    as TokenCritic, so `sample_tokens(critic=...)` accepts either."""
+
+    maskgit: MaskGit
+
+    @nn.compact
+    def __call__(self, token_ids, video_patch_shape, context=None,
+                 text_mask=None, deterministic: bool = True):
+        embeds = self.maskgit(token_ids, video_patch_shape, context=context,
+                              text_mask=text_mask, return_embeds=True,
+                              deterministic=deterministic)
+        return nn.Dense(1, dtype=self.maskgit.dtype,
+                        name="to_pred")(embeds)[..., 0]
+
+    @staticmethod
+    def wrap_variables(maskgit_variables, head_params):
+        """Build SelfCritic variables from trained generator params + the
+        critic head ({"to_pred": {...}} from SelfCritic init)."""
+        return {"params": {"maskgit": maskgit_variables["params"],
+                           "to_pred": head_params}}
+
+
 class TokenCritic(nn.Module):
     """Scores each token as likely-fake (MaskGITTransformer.py:215-300)."""
 

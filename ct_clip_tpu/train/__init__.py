@@ -8,7 +8,8 @@ from .finetune import (LIPRO_POS_WEIGHTS, LiProHead, bce_with_logits,
                        lipro_predict, make_lipro_latent_fn, make_lipro_step,
                        make_vocabfine_step, train_vocabfine,
                        vocabfine_loss, vocabfine_prompt_batch)
-from .ctvit_trainer import CTViTTrainer, Discriminator3D, ema_update
+from .ctvit_trainer import (CTViTTrainer, Discriminator3D, ema_update,
+                            reconstruct_dataset)
 from .maskgit_trainer import MaskGitTrainer
 from .text_classifier import (ReportClassificationDataset,
                               TextClassifierTrainer, multilabel_report,
@@ -21,6 +22,6 @@ __all__ = ["label_smoothing_loss", "topk_accuracy", "cawr_schedule", "cosine_ann
            "LIPRO_POS_WEIGHTS", "LiProHead", "bce_with_logits",
            "lipro_predict", "make_lipro_latent_fn", "make_lipro_step",
            "make_vocabfine_step", "train_vocabfine", "vocabfine_loss", "vocabfine_prompt_batch",
-           "CTViTTrainer", "Discriminator3D", "ema_update", "MaskGitTrainer",
+           "CTViTTrainer", "Discriminator3D", "ema_update", "reconstruct_dataset", "MaskGitTrainer",
            "ReportClassificationDataset", "TextClassifierTrainer",
            "multilabel_report", "sentence_shuffle"]

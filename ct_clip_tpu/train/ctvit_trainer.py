@@ -218,3 +218,31 @@ def group_by_frame_count(items, key: Callable, batch_size: int):
     for _, idxs in sorted(buckets.items()):
         for j in range(0, len(idxs), batch_size):
             yield idxs[j: j + batch_size]
+
+
+def reconstruct_dataset(model, variables, dataset, results_folder: str,
+                        max_items: int | None = None):
+    """CTVIT_inf equivalent (transformer_maskgit/ctvit_inference.py:273-308):
+    run every dataset volume through encode -> VQ -> decode and dump the
+    reconstruction as NIfTI next to the input name.
+
+    `dataset` yields (f, H, W) float arrays (e.g. data.generatect
+    VideoDataset); the model must be built with_decoder=True."""
+    import jax
+
+    from ..data.nifti import write_volume
+
+    out = Path(results_folder)
+    out.mkdir(parents=True, exist_ok=True)
+    recon_fn = jax.jit(lambda v, x: model.apply(v, x, return_recons=True)[0])
+    written = []
+    for i in range(len(dataset)):
+        if max_items is not None and i >= max_items:
+            break
+        video = np.asarray(dataset[i])
+        recon = recon_fn(variables, jnp.asarray(video)[None, ..., None])
+        arr = np.asarray(recon[0, ..., 0], np.float32).transpose(1, 2, 0)
+        path = out / f"recon_{i:05d}.nii.gz"
+        write_volume(path, arr)
+        written.append(str(path))
+    return written

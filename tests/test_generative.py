@@ -177,3 +177,62 @@ def test_text_classifier_trainer(tmp_path):
     r = random.Random(0)
     shuffled = sentence_shuffle("One. Two. Three.", r, prob=1.0)
     assert sorted(shuffled.split()) == sorted("One. Two. Three.".split())
+
+
+def test_self_critic_scores_and_sampling():
+    """SelfCritic (MaskGITTransformer.py:305-334): generator-embedding
+    critic with shared weights, usable in the sampler's critic slot."""
+    from ct_clip_tpu.models import MaskGit, SelfCritic
+    from ct_clip_tpu.models.maskgit import sample_tokens
+
+    cfg = MaskGitConfig(dim=16, depth=1, dim_head=8, heads=2, max_seq_len=32,
+                        t5_dim=16, unconditional=True)
+    mg = MaskGit(cfg, num_tokens=24)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    mv = mg.init(jax.random.PRNGKey(0), ids, (2, 2, 2))
+
+    critic = SelfCritic(mg)
+    cv_full = critic.init(jax.random.PRNGKey(1), ids, (2, 2, 2))
+    scores = critic.apply(cv_full, ids, (2, 2, 2))
+    assert scores.shape == (2, 8)
+
+    # weight sharing: wrap the trained generator params + the head
+    wrapped = SelfCritic.wrap_variables(mv, cv_full["params"]["to_pred"])
+    s2 = critic.apply(wrapped, ids, (2, 2, 2))
+    assert s2.shape == (2, 8)
+
+    out = sample_tokens(mg, mv, jax.random.PRNGKey(2), (2, 2, 2),
+                        batch_size=2, steps=2, critic=critic,
+                        critic_vars=wrapped)
+    assert out.shape == (2, 8)
+    assert int(out.max()) < 24
+
+
+def test_reconstruct_dataset(tmp_path):
+    """CTVIT_inf parity: dataset -> encode/VQ/decode -> NIfTI dumps."""
+    from ct_clip_tpu.data.nifti import read_volume, write_volume
+    from ct_clip_tpu.data.generatect import VideoDataset
+    from ct_clip_tpu.config import CTViTConfig
+    from ct_clip_tpu.models import CTViT
+    from ct_clip_tpu.train import reconstruct_dataset
+
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        vol = rng.randint(0, 1000, size=(16, 16, 110)).astype(np.int16)
+        write_volume(tmp_path / f"v{i}.nii.gz", vol)
+    ds = VideoDataset(str(tmp_path), num_frames=4, image_size=16,
+                      min_slices=100, max_slices=600)
+    assert len(ds) == 2
+
+    cfg = CTViTConfig(dim=16, codebook_size=32, image_size=16, patch_size=8,
+                      temporal_patch_size=2, spatial_depth=1,
+                      temporal_depth=1, dim_head=8, heads=2, num_frames=4,
+                      with_decoder=True)
+    model = CTViT(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 16, 16, 1)))
+    written = reconstruct_dataset(model, variables, ds,
+                                  str(tmp_path / "recon"), max_items=1)
+    assert len(written) == 1
+    back, hdr = read_volume(written[0])
+    assert back.shape == (16, 16, 4)
