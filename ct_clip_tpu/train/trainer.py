@@ -65,7 +65,8 @@ class CTClipTrainer:
                  config: TrainConfig = TrainConfig(),
                  results_folder: str = "./results",
                  num_workers: int = 8,
-                 profile_steps: Optional[tuple] = None):
+                 profile_steps: Optional[tuple] = None,
+                 preprocess_fn=None):
         self.model = model
         self.tokenizer = tokenizer
         self.cfg = config
@@ -75,6 +76,9 @@ class CTClipTrainer:
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.num_workers = num_workers
         self.profile_steps = profile_steps
+        # RawSample -> (d, h, w) device array; default is the fused
+        # production kernel.  Override for custom geometries/pipelines.
+        self._preprocess = preprocess_fn or self._default_preprocess
 
         self.mesh = make_mesh(config.mesh)
         self.tx = get_optimizer(lr=config.lr, wd=config.wd,
@@ -84,6 +88,14 @@ class CTClipTrainer:
         self.logger = MetricLogger(self.results_folder / "metrics.jsonl")
         self.ckpt = CheckpointManager(self.results_folder / "checkpoints")
 
+    @staticmethod
+    def _default_preprocess(sample, clip_before_resample: bool):
+        return preprocess_volume(
+            jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
+            jnp.float32(sample.slope), jnp.float32(sample.intercept),
+            true_sizes=jnp.asarray(sample.true_sizes),
+            clip_before_resample=clip_before_resample)
+
     # ------------------------------------------------------------------ data
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite batches: host read -> device preprocess -> stack."""
@@ -92,11 +104,7 @@ class CTClipTrainer:
                               infinite=True, seed=self.cfg.seed)
         buf_v, buf_t = [], []
         for sample in loader:
-            vol = preprocess_volume(
-                jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
-                jnp.float32(sample.slope), jnp.float32(sample.intercept),
-                true_sizes=jnp.asarray(sample.true_sizes),
-                clip_before_resample=self.train_ds.clip_before_resample)
+            vol = self._preprocess(sample, self.train_ds.clip_before_resample)
             buf_v.append(vol[..., None])
             buf_t.append(sample.meta.text)
             if len(buf_v) == self.cfg.batch_size:
@@ -120,11 +128,25 @@ class CTClipTrainer:
 
     # ----------------------------------------------------------------- setup
     def _init_state(self, batch) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         state = create_train_state(self.model, jax.random.PRNGKey(self.cfg.seed),
                                    batch, self.tx)
-        state = state.replace(params=shard_params(state.params, self.mesh,
-                                                  self.cfg.mesh))
-        self.state = state
+        # every leaf gets an explicit mesh placement: params per the sharding
+        # rules, optimizer moments following the params (tx.init on the
+        # already-sharded tree), scalars/VQ replicated.  Explicit committed
+        # shardings make Orbax restores land on the same layout, so resumed
+        # states feed the jitted step without device conflicts.
+        params = shard_params(state.params, self.mesh, self.cfg.mesh)
+        state = state.replace(params=params, opt_state=self.tx.init(params))
+        repl = NamedSharding(self.mesh, P())
+
+        def place(x):  # leaves without a mesh placement become replicated
+            if isinstance(getattr(x, "sharding", None), NamedSharding):
+                return x
+            return jax.device_put(x, repl)
+
+        self.state = jax.tree.map(place, state)
         raw_step = make_train_step(self.model, self.tx, self.cfg)
         self.step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
@@ -134,8 +156,12 @@ class CTClipTrainer:
         return int(self.state.step)
 
     # ----------------------------------------------------------------- train
-    def train(self, num_steps: Optional[int] = None,
-              eval_fn=None) -> TrainState:
+    def train(self, num_steps: Optional[int] = None, eval_fn=None,
+              auto_resume: bool = True) -> TrainState:
+        """Runs the loop.  `auto_resume=True` makes restarts self-healing:
+        if checkpoints exist under the results folder, training silently
+        continues from the latest one (the failure-recovery behavior the
+        reference lacks — its resume is manual, SURVEY.md §5)."""
         num_steps = num_steps or self.cfg.num_train_steps
         batches = self._batches()
         t_last = time.time()
@@ -143,6 +169,10 @@ class CTClipTrainer:
             for batch in batches:
                 if self.state is None:
                     self._init_state(batch)
+                    if auto_resume and self.ckpt.latest_step is not None:
+                        self.state = self.ckpt.restore(self.state)
+                        self.logger.log(int(self.state.step),
+                                        resumed_from=int(self.state.step))
                 step = int(self.state.step)
                 if step >= num_steps:
                     break
@@ -188,11 +218,7 @@ class CTClipTrainer:
         for i, sample in enumerate(loader):
             if i >= num_volumes:
                 break
-            vol = preprocess_volume(
-                jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
-                jnp.float32(sample.slope), jnp.float32(sample.intercept),
-                true_sizes=jnp.asarray(sample.true_sizes),
-                clip_before_resample=self.valid_ds.clip_before_resample)
+            vol = self._preprocess(sample, self.valid_ds.clip_before_resample)
             preds.append(clf.score_batch(vol[None, ..., None]
                                          .astype(self.cfg.dtype))[0])
             labels.append(sample.meta.labels)

@@ -93,3 +93,69 @@ def test_maskgit_trainer_with_critic(tmp_path):
     grid = tuple(ids.shape[1:])
     logs = trainer.train_step(ids, grid)
     assert np.isfinite(logs["critic_loss"]) and logs["critic_loss"] > 0
+
+
+def test_ctclip_trainer_e2e_with_auto_resume(tmp_path):
+    """The main pretraining harness end-to-end on a tiny synthetic corpus:
+    loop + metrics JSONL + mini zero-shot eval + Orbax ckpt, then a fresh
+    trainer auto-resumes from the latest checkpoint (self-healing restart,
+    SURVEY.md §5 failure-recovery gap in the reference)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_data import _make_dataset, VOCAB
+    from ct_clip_tpu import (BertConfig, CTCLIPConfig, CTViTConfig,
+                             TrainConfig)
+    from ct_clip_tpu.data import (CTReportDataset, CTReportDatasetInfer,
+                                  WordPieceTokenizer)
+    from ct_clip_tpu.models import CTCLIP
+    from ct_clip_tpu.train import CTClipTrainer
+
+    data, reports, meta, labels = _make_dataset(tmp_path, n=2,
+                                                with_labels=True)
+    train_ds = CTReportDataset(data, reports, meta, percent=100)
+    valid_ds = CTReportDatasetInfer(data, reports, meta, labels)
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(VOCAB) + "\n")
+    tok = WordPieceTokenizer(str(vocab_path))
+
+    ctvit = CTViTConfig(dim=8, codebook_size=16, image_size=32,
+                        patch_size=16, temporal_patch_size=4,
+                        num_frames=8, spatial_depth=1, temporal_depth=1,
+                        dim_head=4, heads=2)
+    bert = BertConfig(vocab_size=len(VOCAB), hidden_size=8,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      intermediate_size=16, max_position_embeddings=512)
+    hw = ctvit.image_size // ctvit.patch_size
+    cfg = CTCLIPConfig(dim_text=8, dim_image=hw * hw * ctvit.dim,
+                       dim_latent=8, ctvit=ctvit, bert=bert,
+                       gather_negatives=False)
+    tcfg = TrainConfig(batch_size=1, lr=1e-4, num_train_steps=2,
+                       save_results_every=2, save_model_every=2,
+                       compute_dtype="float32")
+
+    def cheap_preprocess(sample, clip_before):
+        from ct_clip_tpu.data.generatect import resize_video
+        vol = np.clip(sample.vol + sample.intercept, -1000, 1000) / 1000.0
+        return jnp.asarray(resize_video(vol, (8, 32, 32)).astype(np.float32))
+
+    trainer = CTClipTrainer(CTCLIP(cfg), tok, train_dataset=train_ds,
+                            valid_dataset=valid_ds, config=tcfg,
+                            results_folder=str(tmp_path / "run"),
+                            num_workers=1, preprocess_fn=cheap_preprocess)
+    state = trainer.train()
+    assert int(state.step) == 2
+    metrics = (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    assert len(metrics) >= 2
+    evals = list((tmp_path / "run").glob("mini_eval_step*.csv"))
+    assert evals, "mini zero-shot eval CSV missing"
+    assert trainer.ckpt.latest_step == 2
+
+    # fresh trainer resumes from the checkpoint and continues to step 3
+    trainer2 = CTClipTrainer(CTCLIP(cfg), tok, train_dataset=train_ds,
+                             valid_dataset=None,
+                             config=tcfg.replace(num_train_steps=3),
+                             results_folder=str(tmp_path / "run"),
+                             num_workers=1, preprocess_fn=cheap_preprocess)
+    state2 = trainer2.train()
+    assert int(state2.step) == 3

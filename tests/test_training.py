@@ -421,3 +421,42 @@ def test_mlm_standalone_masking_semantics():
     m2 = subset_mask_with_prob(jax.random.PRNGKey(0), valid2, 0.15)
     assert int(m2[0].sum()) == 2  # ceil(0.15*10)
     assert not bool(jnp.any(m2[0, 10:]))
+
+
+def test_pooled_multiview_loss():
+    """Multiview aug batches on the production (pooled) path
+    (ct_clip.py:652-696, 885-899)."""
+    cfg = tiny_cfg(gather_negatives=False)
+    model = CTCLIP(cfg)
+    batch = tiny_batch(cfg, b=2, seq=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                           batch["attention_mask"], batch["video"],
+                           return_loss=True)
+    ids2 = jnp.concatenate([batch["input_ids"]] * 2, 0)
+    mask2 = jnp.concatenate([batch["attention_mask"]] * 2, 0)
+    vid2 = jnp.concatenate([batch["video"]] * 2, 0)
+    loss_mv = model.apply(variables, ids2, mask2, vid2, return_loss=True,
+                          num_batch_texts=2, num_batch_images=2)
+    assert np.isfinite(float(loss_mv))
+    loss_1 = model.apply(variables, batch["input_ids"],
+                         batch["attention_mask"], batch["video"],
+                         return_loss=True)
+    # identical duplicated views: main CL term equals the single-view loss,
+    # and so do all multiview cross terms -> total == loss_1
+    np.testing.assert_allclose(float(loss_mv), float(loss_1), atol=1e-5)
+
+
+def test_profiler_trace_capture(tmp_path):
+    """jax.profiler tracing works around a train step (SURVEY §5 tracing)."""
+    cfg = tiny_cfg(gather_negatives=False)
+    model = CTCLIP(cfg)
+    tx = get_optimizer(lr=1e-4)
+    batch = tiny_batch(cfg, b=2, seq=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    step = jax.jit(make_train_step(model, tx, TrainConfig(batch_size=2)))
+    jax.profiler.start_trace(str(tmp_path / "trace"))
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(state.params)
+    jax.profiler.stop_trace()
+    dumped = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in dumped)
