@@ -26,8 +26,36 @@ def geglu(x: jnp.ndarray) -> jnp.ndarray:
     return val * jax.nn.gelu(gate, approximate=False)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching StandardLayerNorm's tree ({scale, bias})."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseKernel(nn.Module):
+    """Parameter holder matching Dense(use_bias=False)'s tree ({kernel})."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_features, self.features))
+
+
 class MaskgitFeedForward(nn.Module):
-    """transformer_maskgit/attention.py:44-52 (includes its own leading LN)."""
+    """transformer_maskgit/attention.py:44-52 (includes its own leading LN).
+
+    The LN + both matmuls + exact-erf GEGLU run as one fused Pallas kernel on
+    TPU when dropout is inactive (ops/pallas/ffn.py; the (rows, 2*inner)
+    intermediate stays in VMEM); parameter tree is unchanged
+    (norm/{scale,bias}, wi/kernel, wo/kernel)."""
 
     dim: int
     mult: float = 4.0
@@ -38,12 +66,30 @@ class MaskgitFeedForward(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         # leading norm is a standard torch nn.LayerNorm (attention.py:47)
         inner = int(self.mult * (2.0 / 3.0) * self.dim)
-        x = StandardLayerNorm(self.dim, name="norm")(x)
-        x = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="wi")(x)
+        scale, bias = _LNParams(self.dim, name="norm")()
+        wi = _DenseKernel(self.dim, inner * 2, name="wi")()
+        wo = _DenseKernel(inner, self.dim, name="wo")()
+
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if not dropout_active:
+            from .pallas.ffn import fused_geglu_ff
+
+            lead = x.shape[:-1]
+            out = fused_geglu_ff(
+                x.reshape(-1, self.dim),
+                scale, bias,
+                wi[:, :inner].astype(self.dtype),
+                wi[:, inner:].astype(self.dtype),
+                wo.astype(self.dtype))
+            return out.reshape(*lead, self.dim)
+
+        from .norms import layer_norm
+
+        x = layer_norm(x, scale, bias)
+        x = jnp.dot(x.astype(self.dtype), wi.astype(self.dtype))
         x = geglu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="wo")(x)
-        return x
+        return jnp.dot(x.astype(self.dtype), wo.astype(self.dtype))
 
 
 class ClipFeedForward(nn.Module):

@@ -133,3 +133,62 @@ def test_fused_attention_kernel_on_tpu_if_available():
     got = _pallas_attention(q, k, v, bias, g).astype(jnp.float32)
     ref = _xla_attention(q, k, v, bias).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# fused GEGLU feed-forward kernel (ops/pallas/ffn.py)
+# ---------------------------------------------------------------------------
+
+def test_fused_geglu_ff_matches_module_math():
+    """fused_geglu_ff fallback == LN -> x@wi -> geglu -> @wo reference."""
+    from ct_clip_tpu.ops.mlp import geglu
+    from ct_clip_tpu.ops.norms import layer_norm
+    from ct_clip_tpu.ops.pallas.ffn import fused_geglu_ff
+
+    rng = np.random.RandomState(11)
+    n, d, inner = 64, 16, 20
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    scale = jnp.asarray(rng.rand(d).astype(np.float32))
+    bias = jnp.asarray(rng.rand(d).astype(np.float32))
+    wi = jnp.asarray((rng.randn(d, 2 * inner) * 0.2).astype(np.float32))
+    wo = jnp.asarray((rng.randn(inner, d) * 0.2).astype(np.float32))
+
+    got = fused_geglu_ff(x, scale, bias, wi[:, :inner], wi[:, inner:], wo)
+    ref = geglu(layer_norm(x, scale, bias) @ wi) @ wo
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # gradient path (custom vjp recompute)
+    g1 = jax.grad(lambda x_: jnp.sum(fused_geglu_ff(
+        x_, scale, bias, wi[:, :inner], wi[:, inner:], wo) ** 2))(x)
+    g2 = jax.grad(lambda x_: jnp.sum(
+        (geglu(layer_norm(x_, scale, bias) @ wi) @ wo) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_erf_approximation_accuracy():
+    from ct_clip_tpu.ops.pallas.ffn import _erf_as
+    import scipy.special as sp
+
+    x = np.linspace(-6, 6, 4001).astype(np.float32)
+    got = np.asarray(_erf_as(jnp.asarray(x)))
+    assert np.max(np.abs(got - sp.erf(x))) < 5e-6
+
+
+def test_fused_ff_kernel_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.ffn import _pallas_ff, _plan, _xla_ff
+
+    rng = np.random.RandomState(12)
+    n, d, inner = 2048, 512, 1365
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32)).astype(jnp.bfloat16)
+    scale = jnp.asarray(rng.rand(d).astype(np.float32))
+    bias = jnp.asarray(rng.rand(d).astype(np.float32))
+    wia = jnp.asarray((rng.randn(d, inner) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    wig = jnp.asarray((rng.randn(d, inner) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    wo = jnp.asarray((rng.randn(inner, d) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    m = _plan(x.shape, d, inner, 2)
+    assert m is not None
+    got = _pallas_ff(x, scale, bias, wia, wig, wo, 1e-5, m).astype(jnp.float32)
+    ref = _xla_ff(x, scale, bias, wia, wig, wo, 1e-5).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2)
