@@ -141,6 +141,8 @@ class QKNormAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, context=None, attn_bias=None,
                  deterministic: bool = True):
+        from .mlp import _DenseKernel
+
         b = x.shape[0]
         h, dh = self.heads, self.dim_head
         dim_context = self.dim_context if self.dim_context is not None else self.dim
@@ -151,8 +153,42 @@ class QKNormAttention(nn.Module):
 
         x = GammaLayerNorm(self.dim, name="norm")(x)
 
-        q = nn.Dense(h * dh, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(h * dh * 2, use_bias=False, dtype=self.dtype, name="to_kv")(kv_input)
+        wq = _DenseKernel(self.dim, h * dh, name="to_q")()
+        wkv = _DenseKernel(dim_context, h * dh * 2, name="to_kv")()
+
+        dropout_active = self.dropout > 0 and not deterministic
+        if (x.shape[1] < 128 and mask is None and attn_bias is None
+                and context is None and not self.causal
+                and self.num_null_kv == 0 and not dropout_active):
+            # Small-sequence path (the CTViT temporal stage, n=24): project
+            # each head separately so the (b, n, h, dh) -> (b, h, n, dh)
+            # relayout never materializes — measured 11.6 -> 8.0 ms per
+            # layer call at the production temporal shape.
+            q_scale = self.param("q_scale", nn.initializers.ones, (dh,))
+            k_scale = self.param("k_scale", nn.initializers.ones, (dh,))
+            xc = x.astype(self.dtype)
+            # k/v come from the PRE-norm input (attention.py:139-143:
+            # kv_input is captured before x = self.norm(x))
+            kvc = kv_input.astype(self.dtype)
+            outs = []
+            for hh in range(h):
+                sl = slice(hh * dh, (hh + 1) * dh)
+                sv = slice(h * dh + hh * dh, h * dh + (hh + 1) * dh)
+                qh = xc @ wq[:, sl].astype(self.dtype)
+                kh = kvc @ wkv[:, sl].astype(self.dtype)
+                vh = kvc @ wkv[:, sv].astype(self.dtype)
+                qh = l2norm(qh) * q_scale.astype(qh.dtype) * self.scale
+                kh = l2norm(kh) * k_scale.astype(kh.dtype)
+                sim = jnp.einsum("bid,bjd->bij", qh, kh,
+                                 preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(sim, axis=-1).astype(vh.dtype)
+                outs.append(jnp.einsum("bij,bjd->bid", attn, vh))
+            out = jnp.concatenate(outs, axis=-1)
+            wout = _DenseKernel(h * dh, self.dim, name="to_out")()
+            return out @ wout.astype(self.dtype)
+
+        q = x.astype(self.dtype) @ wq.astype(self.dtype)
+        kv = kv_input.astype(self.dtype) @ wkv.astype(self.dtype)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
@@ -185,13 +221,14 @@ class QKNormAttention(nn.Module):
         if mask is not None:
             mask = jnp.pad(mask, [(0, 0), (self.num_null_kv, 0)], constant_values=True)
 
-        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        rng = self.make_rng("dropout") if dropout_active else None
         out = _sdpa(q * self.scale, k, v, bias=attn_bias, mask=mask,
                     causal=self.causal, heads_alibi=h if self.causal else None,
                     dropout_rng=rng, dropout_rate=self.dropout,
                     deterministic=deterministic)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, h * dh)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        wout = _DenseKernel(h * dh, self.dim, name="to_out")()
+        return out @ wout.astype(self.dtype)
 
 
 def apply_rotary(freqs, t):
