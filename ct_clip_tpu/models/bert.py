@@ -79,14 +79,23 @@ class BertSelfAttention(nn.Module):
                 .reshape(b, n, h, dh).transpose(0, 2, 1, 3)
 
         q, k, v = proj("query"), proj("key"), proj("value")
+        dropout_active = self.dropout > 0 and not deterministic
+        if not dropout_active:
+            # fused Pallas attention with the pad mask as a per-key additive
+            # bias — scores never round-trip HBM (ops/pallas/attention.py);
+            # identical-numerics XLA fallback off-TPU
+            from ..ops.pallas.attention import fused_attention
+
+            out = fused_attention(q * (dh ** -0.5), k, v,
+                                  key_bias=attn_bias[:, 0, 0, :])
+            return out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
         sim = jnp.einsum("bhid,bhjd->bhij", q, k,
                          preferred_element_type=jnp.float32) / jnp.sqrt(dh).astype(jnp.float32)
         sim = sim + attn_bias  # (b, 1, 1, n) additive mask
         attn = jax.nn.softmax(sim, axis=-1)
-        if self.dropout > 0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, attn.shape)
-            attn = attn * keep / (1.0 - self.dropout)
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - self.dropout, attn.shape)
+        attn = attn * keep / (1.0 - self.dropout)
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         return out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
 

@@ -37,12 +37,14 @@ import jax.numpy as jnp
 _VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the ~16 MB/core scoped limit
 
 
-def _xla_attention(q, k, v, bias):
+def _xla_attention(q, k, v, bias, key_bias=None):
     """Reference XLA path; numerics-identical to the kernel."""
     sim = jnp.einsum("bhid,bhjd->bhij", q, k,
                      preferred_element_type=jnp.float32)
     if bias is not None:
         sim = sim + bias.astype(jnp.float32)
+    if key_bias is not None:  # additive per-key bias (b, n), e.g. a pad mask
+        sim = sim + key_bias.astype(jnp.float32)[:, None, None, :]
     attn = jax.nn.softmax(sim, axis=-1)
     return jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
 
@@ -93,6 +95,17 @@ def _kernel(q_ref, kT_ref, v_ref, o_ref, *, g):
                               ).astype(o_ref.dtype)
 
 
+def _kernel_kbias(q_ref, kT_ref, v_ref, kb_ref, o_ref, *, g):
+    for j in range(g):
+        sim = jnp.dot(q_ref[j, 0], kT_ref[j, 0],
+                      preferred_element_type=jnp.float32)
+        sim = sim + kb_ref[j]  # (1, n) broadcasts over query rows
+        attn = jax.nn.softmax(sim, axis=-1).astype(v_ref.dtype)
+        o_ref[j, 0] = jnp.dot(attn, v_ref[j, 0],
+                              preferred_element_type=jnp.float32
+                              ).astype(o_ref.dtype)
+
+
 def _kernel_bias(q_ref, kT_ref, v_ref, b_ref, o_ref, *, g):
     for j in range(g):
         sim = jnp.dot(q_ref[j, 0], kT_ref[j, 0],
@@ -104,7 +117,7 @@ def _kernel_bias(q_ref, kT_ref, v_ref, b_ref, o_ref, *, g):
                               ).astype(o_ref.dtype)
 
 
-def _pallas_attention(q, k, v, bias, g):
+def _pallas_attention(q, k, v, bias, g, key_bias=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -114,6 +127,15 @@ def _pallas_attention(q, k, v, bias, g):
                       memory_space=pltpu.VMEM)
     sk = pl.BlockSpec((g, 1, d, n), lambda hi, bi: (bi, hi, 0, 0),
                       memory_space=pltpu.VMEM)
+    if bias is None and key_bias is not None:
+        # (b, 1, n) so the block's trailing dims equal the array dims
+        skb = pl.BlockSpec((g, 1, n), lambda hi, bi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_kbias, g=g), grid=(h, b // g),
+            in_specs=[sq, sk, sq, skb], out_specs=sq,
+            out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype))(
+                q, kT, v, key_bias.astype(jnp.float32)[:, None, :])
     if bias is None:
         return pl.pallas_call(
             functools.partial(_kernel, g=g), grid=(h, b // g),
@@ -132,31 +154,42 @@ def _pallas_attention(q, k, v, bias, g):
 
 @jax.custom_vjp
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """softmax(q @ k^T + bias) @ v, scores kept on-chip.
+                    bias: Optional[jnp.ndarray] = None,
+                    key_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """softmax(q @ k^T + bias + key_bias[:, None, None]) @ v, scores on-chip.
 
     q, k, v: (b, h, n, d) — any scaling already applied to q.
     bias: broadcastable (1, 1|h, n, n) additive score bias, or None.
+    key_bias: additive per-key bias (b, n) (e.g. a -inf-style pad mask as
+    used by BERT), or None.  bias and key_bias are mutually exclusive in the
+    kernel path.
     """
     g = _plan(q.shape, q.dtype.itemsize,
               None if bias is None else bias.shape)
-    if g is not None:
-        return _pallas_attention(q, k, v, bias, g)
-    return _xla_attention(q, k, v, bias)
+    if g is not None and not (bias is not None and key_bias is not None):
+        if key_bias is None or key_bias.shape == (q.shape[0], q.shape[2]):
+            return _pallas_attention(q, k, v, bias, g, key_bias)
+    return _xla_attention(q, k, v, bias, key_bias)
 
 
-def _fused_fwd(q, k, v, bias):
-    return fused_attention(q, k, v, bias), (q, k, v, bias)
+def _fused_fwd(q, k, v, bias, key_bias):
+    return fused_attention(q, k, v, bias, key_bias), (q, k, v, bias, key_bias)
 
 
 def _fused_bwd(res, g):
-    q, k, v, bias = res
-    if bias is None:
-        _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, None),
-                         q, k, v)
-        return (*vjp(g), None)
-    _, vjp = jax.vjp(_xla_attention, q, k, v, bias)
-    return vjp(g)
+    q, k, v, bias, key_bias = res
+    diff = [x for x in (bias, key_bias) if x is not None]
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, *rest: _xla_attention(
+            q_, k_, v_,
+            rest[0] if bias is not None else None,
+            rest[-1] if key_bias is not None else None),
+        q, k, v, *diff)
+    grads = list(vjp(g))
+    out = grads[:3]
+    out.append(grads.pop(3) if bias is not None else None)
+    out.append(grads.pop(3) if key_bias is not None else None)
+    return tuple(out)
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)

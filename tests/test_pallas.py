@@ -192,3 +192,21 @@ def test_fused_ff_kernel_on_tpu_if_available():
     got = _pallas_ff(x, scale, bias, wia, wig, wo, 1e-5, m).astype(jnp.float32)
     ref = _xla_ff(x, scale, bias, wia, wig, wo, 1e-5).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2)
+
+
+def test_fused_attention_key_bias_matches_xla():
+    from ct_clip_tpu.ops.pallas.attention import _xla_attention, fused_attention
+
+    q, k, v, _ = _attn_inputs()
+    rng = np.random.RandomState(9)
+    key_bias = jnp.asarray(
+        np.where(rng.rand(4, 256) < 0.2, -1e9, 0.0).astype(np.float32))
+    got = fused_attention(q, k, v, key_bias=key_bias)
+    ref = _xla_attention(q, k, v, None, key_bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g1 = jax.grad(lambda q_: jnp.sum(
+        fused_attention(q_, k, v, key_bias=key_bias) ** 2))(q)
+    g2 = jax.grad(lambda q_: jnp.sum(
+        _xla_attention(q_, k, v, None, key_bias) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
