@@ -152,6 +152,70 @@ def _pallas_attention(q, k, v, bias, g, key_bias=None):
             q, kT, v, bias.astype(jnp.float32))
 
 
+def _bwd_kernel_bias(q_ref, kT_ref, vT_ref, b_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, db_ref, *, bias_per_head):
+    """Grid (h, b): recompute scores in VMEM, emit dq/dk/dv and accumulate
+    dbias across the inner batch steps (the bias block is revisited on
+    consecutive steps, so += is well-defined)."""
+    from jax.experimental import pallas as pl
+
+    hi, bi = pl.program_id(0), pl.program_id(1)
+    db_fresh = (bi == 0) if bias_per_head else ((bi == 0) & (hi == 0))
+    q_ = q_ref[0, 0]
+    kT = kT_ref[0, 0]
+    vT = vT_ref[0, 0]
+    do_ = do_ref[0, 0]
+    sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + b_ref[0, 0]
+    attn = jax.nn.softmax(sim, axis=-1)
+    dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
+    row = jnp.sum(dS * attn, axis=-1, keepdims=True)
+    dP = attn * (dS - row)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        dP, kT.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        dP, q_.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        attn, do_.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+    @pl.when(db_fresh)
+    def _():
+        db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
+
+    db_ref[0, 0] += dP
+
+
+def _pallas_attention_bwd(q, k, v, bias, do):
+    """Returns (dq, dk, dv, dbias-summed-over-batch) for bias (1, h, n, n)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    kT = jnp.swapaxes(k, -1, -2)
+    vT = jnp.swapaxes(v, -1, -2)
+    bh = bias.shape[1]
+    sq = pl.BlockSpec((1, 1, n, d), lambda hi, bi: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((1, 1, d, n), lambda hi, bi: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    sb = pl.BlockSpec((1, 1, n, n),
+                      lambda hi, bi: (0, hi if bh > 1 else 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_bias, bias_per_head=bh > 1),
+        grid=(h, b),
+        in_specs=[sq, st, st, sb, sq],
+        out_specs=[sq, sq, sq, sb],
+        out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, n, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+                   jax.ShapeDtypeStruct((1, bh, n, n), jnp.float32)])(
+        q, kT, vT, bias.astype(jnp.float32), do)
+    return dq, dk, dv, db.astype(bias.dtype)
+
+
 @jax.custom_vjp
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
@@ -178,6 +242,12 @@ def _fused_fwd(q, k, v, bias, key_bias):
 
 def _fused_bwd(res, g):
     q, k, v, bias, key_bias = res
+    n = q.shape[2]
+    if (key_bias is None and bias is not None and bias.shape[0] == 1
+            and _plan(q.shape, q.dtype.itemsize, bias.shape) is not None
+            and 4 * n * n * 4 + 2 * n * n * 4 <= _VMEM_BUDGET):
+        dq, dk, dv, db = _pallas_attention_bwd(q, k, v, bias, g)
+        return dq, dk, dv, db, None
     diff = [x for x in (bias, key_bias) if x is not None]
     _, vjp = jax.vjp(
         lambda q_, k_, v_, *rest: _xla_attention(

@@ -210,3 +210,25 @@ def test_fused_attention_key_bias_matches_xla():
     g2 = jax.grad(lambda q_: jnp.sum(
         _xla_attention(q_, k, v, None, key_bias) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_fused_attention_bwd_kernel_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.attention import (_pallas_attention_bwd,
+                                                  _xla_attention)
+
+    b, h, n, d = 8, 8, 576, 32
+    rng = np.random.RandomState(13)
+    mk = lambda: jnp.asarray(rng.randn(b, h, n, d).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    q, k, v, do = mk(), mk(), mk(), mk()
+    for bh in (h, 1):
+        bias = jnp.asarray(rng.randn(1, bh, n, n).astype(np.float32))
+        got = _pallas_attention_bwd(q, k, v, bias, do)
+        _, vjp = jax.vjp(_xla_attention, q, k, v, bias)
+        ref = vjp(do)
+        for a, b_ in zip(got, ref):
+            a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+            scale = max(np.abs(b32).max(), 1.0)
+            assert np.max(np.abs(a32 - b32)) / scale < 1.5e-2
