@@ -213,6 +213,44 @@ def cmd_tsne(args):
     print(f"t-SNE embedding ({emb.shape}) -> {args.out}")
 
 
+def cmd_convert(args):
+    """Torch .pt checkpoint -> Orbax variables (one-time migration for users
+    of the published CT-CLIP_v2.pt weights)."""
+    from .convert.torch_to_jax import load_ctclip_checkpoint
+    from .train.checkpoint import save_variables
+
+    cfg, model = _common_model(args)
+    variables = load_ctclip_checkpoint(args.pt, cfg)
+    save_variables(args.out, variables)
+    print(f"converted {args.pt} -> {args.out}")
+
+
+def cmd_reconstruct(args):
+    from .config import CTViTConfig
+    from .data.generatect import VideoDataset
+    from .models import CTViT
+    from .train import reconstruct_dataset
+    from .train.checkpoint import load_variables
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = CTViTConfig(with_decoder=True)
+    model = CTViT(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    if args.ckpt:
+        variables = load_variables(args.ckpt)
+    else:
+        print("[warn] no --ckpt; random init", file=sys.stderr)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, cfg.num_frames, cfg.image_size,
+                                          cfg.image_size, 1)))
+    ds = VideoDataset(args.data, num_frames=cfg.num_frames,
+                      image_size=cfg.image_size)
+    written = reconstruct_dataset(model, variables, ds, args.results,
+                                  max_items=args.max_items)
+    print(f"wrote {len(written)} reconstructions -> {args.results}")
+
+
 def cmd_radbert_train(args):
     from .config import RadBertConfig
     from .models import RadBertClassifier
@@ -357,6 +395,18 @@ def main(argv=None):
     ts.add_argument("--labels-npz")
     ts.add_argument("--out", default="tsne.png")
     ts.set_defaults(fn=cmd_tsne)
+
+    cv = sub.add_parser("convert")
+    cv.add_argument("--pt", required=True, help="torch .pt checkpoint")
+    cv.add_argument("--out", required=True, help="orbax output path")
+    cv.set_defaults(fn=cmd_convert)
+
+    rc = sub.add_parser("reconstruct")
+    rc.add_argument("--data", required=True)
+    rc.add_argument("--ckpt")
+    rc.add_argument("--results", default="reconstructions")
+    rc.add_argument("--max-items", type=int)
+    rc.set_defaults(fn=cmd_reconstruct)
 
     r = sub.add_parser("radbert-train")
     r.add_argument("--reports", required=True)
