@@ -50,20 +50,41 @@ class ZeroShotClassifier:
 
     def __init__(self, model: CTCLIP, variables: Dict, tokenizer,
                  pathologies: Sequence[str] = PATHOLOGIES,
-                 max_text_len: int = 512):
+                 max_text_len: int = 512, mesh=None, data_axis: str = "data"):
+        """Pass a `jax.sharding.Mesh` to shard the volume batch over its
+        `data_axis` — zero-shot throughput then scales with chips (each chip
+        encodes batch/n_chips volumes; prompt latents are replicated)."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.pathologies = list(pathologies)
         self.max_text_len = max_text_len
+        self.mesh = mesh
         self._prompt_latents = None
 
-        self._encode_image = jax.jit(
-            lambda vars_, video: model.apply(vars_, video,
-                                             method=CTCLIP.encode_image))
-        self._encode_text = jax.jit(
-            lambda vars_, ids, mask: model.apply(vars_, ids, mask,
-                                                 method=CTCLIP.encode_text))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P(data_axis))
+            repl = NamedSharding(mesh, P())
+
+            def encode_image(vars_, video):
+                video = jax.lax.with_sharding_constraint(video, batch_sharding)
+                return model.apply(vars_, video, method=CTCLIP.encode_image)
+
+            self._encode_image = jax.jit(encode_image,
+                                         out_shardings=(batch_sharding, None))
+            self._encode_text = jax.jit(
+                lambda vars_, ids, mask: model.apply(
+                    vars_, ids, mask, method=CTCLIP.encode_text),
+                out_shardings=repl)
+        else:
+            self._encode_image = jax.jit(
+                lambda vars_, video: model.apply(vars_, video,
+                                                 method=CTCLIP.encode_image))
+            self._encode_text = jax.jit(
+                lambda vars_, ids, mask: model.apply(vars_, ids, mask,
+                                                     method=CTCLIP.encode_text))
 
     def prompt_latents(self) -> jnp.ndarray:
         """(num_pathologies, 2, dim_latent), computed once."""
@@ -95,13 +116,15 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
                   results_folder: str, batch_size: int = 4,
                   num_workers: int = 8,
                   pathologies: Sequence[str] = PATHOLOGIES,
-                  save_artifacts: bool = True) -> Dict[str, np.ndarray]:
+                  save_artifacts: bool = True,
+                  mesh=None) -> Dict[str, np.ndarray]:
     """Full CTClipInference.infer equivalent: iterate the dataset, score all
     volumes, dump npz + accession list + AUROC table (zero_shot.py:149-165)."""
     from ..data.loader import VolumeLoader
     from ..evals.metrics import evaluate_internal
 
-    clf = ZeroShotClassifier(model, variables, tokenizer, pathologies)
+    clf = ZeroShotClassifier(model, variables, tokenizer, pathologies,
+                             mesh=mesh)
     loader = VolumeLoader(dataset, num_workers=num_workers,
                           prefetch=2 * batch_size)
 

@@ -460,3 +460,38 @@ def test_profiler_trace_capture(tmp_path):
     jax.profiler.stop_trace()
     dumped = list((tmp_path / "trace").rglob("*"))
     assert any(p.is_file() for p in dumped)
+
+
+def test_zero_shot_sharded_over_mesh():
+    """ZeroShotClassifier with a mesh shards the volume batch over `data`
+    and matches the unsharded scores (pod-scale zero-shot serving)."""
+    from jax.sharding import Mesh
+    from ct_clip_tpu.inference.zero_shot import ZeroShotClassifier
+
+    class IdentityTokenizer:
+        def __call__(self, texts, **kw):
+            n = kw.get("max_length", 16)
+            ids = np.zeros((len(texts), n), np.int32)
+            for i, t in enumerate(texts):
+                for j, ch in enumerate(t[: n]):
+                    ids[i, j] = (ord(ch) % 60) + 1
+            return {"input_ids": ids,
+                    "attention_mask": (ids != 0).astype(np.int32)}
+
+    cfg = tiny_cfg(gather_negatives=False)
+    model = CTCLIP(cfg)
+    batch = tiny_batch(cfg, b=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                           batch["attention_mask"], batch["video"],
+                           return_loss=False, return_latents=True)
+    tok = IdentityTokenizer()
+
+    plain = ZeroShotClassifier(model, variables, tok, max_text_len=16)
+    scores_plain = plain.score_batch(batch["video"])
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    sharded = ZeroShotClassifier(model, variables, tok, max_text_len=16,
+                                 mesh=mesh)
+    scores_sharded = sharded.score_batch(batch["video"])
+    np.testing.assert_allclose(scores_plain, scores_sharded, atol=2e-5)
+    assert scores_plain.shape == (8, 18)
