@@ -35,6 +35,18 @@ def layer_norm(x: jnp.ndarray, scale: Optional[jnp.ndarray] = None,
     return out.astype(dtype)
 
 
+class _GammaParam(nn.Module):
+    """Parameter holder matching GammaLayerNorm's tree ({gamma}); lets a
+    caller reuse the raw gamma (e.g. inside a fused Pallas kernel) while
+    keeping checkpoint-identical parameter paths."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("gamma", nn.initializers.ones, (self.dim,))
+
+
 class GammaLayerNorm(nn.Module):
     """Gamma-only LN (bias is an untrained zero buffer).
 

@@ -232,3 +232,87 @@ def test_fused_attention_bwd_kernel_on_tpu_if_available():
             a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
             scale = max(np.abs(b32).max(), 1.0)
             assert np.max(np.abs(a32 - b32)) / scale < 1.5e-2
+
+
+# ---------------------------------------------------------- small attention
+
+def _small_attn_inputs(b=12, n=24, dim=128, heads=4, dh=32, dtype=jnp.float32):
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(b, n, dim).astype(np.float32), dtype)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(dim).astype(np.float32))
+    wq = jnp.asarray(rng.randn(dim, heads * dh).astype(np.float32) / np.sqrt(dim))
+    wkv = jnp.asarray(rng.randn(dim, 2 * heads * dh).astype(np.float32) / np.sqrt(dim))
+    qs = jnp.asarray(1.0 + 0.1 * rng.randn(dh).astype(np.float32))
+    ks = jnp.asarray(1.0 + 0.1 * rng.randn(dh).astype(np.float32))
+    wout = jnp.asarray(rng.randn(heads * dh, dim).astype(np.float32)
+                       / np.sqrt(heads * dh))
+    return x, gamma, wq, wkv, qs, ks, wout
+
+
+def test_small_qknorm_xla_matches_module_path():
+    """The batched XLA reference must equal QKNormAttention's per-head loop."""
+    from ct_clip_tpu.ops.attention import QKNormAttention
+    from ct_clip_tpu.ops.pallas.small_attention import _xla_small_qknorm
+
+    b, n, dim, heads, dh = 6, 16, 64, 4, 16
+    x, gamma, wq, wkv, qs, ks, wout = _small_attn_inputs(b, n, dim, heads, dh)
+    mod = QKNormAttention(dim, dim_head=dh, heads=heads, dtype=jnp.float32)
+    variables = {"params": {"norm": {"gamma": gamma},
+                            "to_q": {"kernel": wq}, "to_kv": {"kernel": wkv},
+                            "q_scale": qs, "k_scale": ks,
+                            "to_out": {"kernel": wout}}}
+    want = mod.apply(variables, x)
+    got = _xla_small_qknorm(x, gamma, wq, wkv, qs, ks, wout, heads=heads,
+                            dim_head=dh, scale=8.0, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_small_qknorm_grad_finite_and_matches():
+    from ct_clip_tpu.ops.pallas.small_attention import (
+        _xla_small_qknorm, fused_small_qknorm_attention)
+
+    args = _small_attn_inputs(4, 8, 64, 2, 16)
+
+    def f(fn, *a):
+        return jnp.sum(fn(*a, heads=2, dim_head=16, scale=8.0,
+                          dtype=jnp.float32) ** 2
+                       if fn is _xla_small_qknorm else
+                       fn(*a, 2, 16, 8.0, jnp.float32) ** 2)
+
+    g1 = jax.grad(lambda *a: f(fused_small_qknorm_attention, *a),
+                  argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    g2 = jax.grad(lambda *a: f(_xla_small_qknorm, *a),
+                  argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for a, b in zip(g1, g2):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_small_qknorm_plan_gating():
+    from ct_clip_tpu.ops.pallas.small_attention import _plan
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # production temporal shape: engages on TPU only
+    assert (_plan(4608, 24, 512, 8, 32) is not None) == on_tpu
+    # large sequence / misaligned dims: never engages
+    assert _plan(4608, 576, 512, 8, 32) is None
+    assert _plan(4608, 24, 96, 8, 32) is None   # dim % 128
+    assert _plan(4608, 24, 512, 3, 32) is None  # h*dh % 128
+
+
+def test_small_qknorm_kernel_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.small_attention import (
+        _pallas_small_qknorm, _plan, _xla_small_qknorm)
+
+    b, n, dim, heads, dh = 96, 24, 256, 8, 32
+    args = _small_attn_inputs(b, n, dim, heads, dh, dtype=jnp.bfloat16)
+    g = _plan(b, n, dim, heads, dh)
+    assert g is not None
+    got = _pallas_small_qknorm(*args, g, heads=heads, dim_head=dh, scale=8.0,
+                               dtype=jnp.bfloat16)
+    ref = _xla_small_qknorm(*args, heads=heads, dim_head=dh, scale=8.0,
+                            dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2)
