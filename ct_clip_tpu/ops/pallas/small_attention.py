@@ -209,6 +209,226 @@ def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
         out_shape=jax.ShapeDtypeStruct((b, n, dim_out), cdt))(x, *weights)
 
 
+def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
+                wout_ref, mask_ref, ones_ref, c_ref,
+                dx_ref, dwq_ref, dwkv_ref, dwout_ref, dgamma_ref, dqs_ref,
+                dks_ref, *, g, n, heads, dim_head, dtype):
+    """Full sublayer backward: recompute the forward in VMEM (flash-style),
+    emit dx per block and accumulate the weight grads across the sequential
+    grid steps.  Math follows the custom-VJP chain of _xla_small_qknorm;
+    large (rows x dim) matmuls run with bf16 inputs + f32 accumulation, the
+    tiny (r, r) attention matmuls in f32."""
+    from jax.experimental import pallas as pl
+
+    h, dh = heads, dim_head
+    r = g * n
+    dim = x_ref.shape[-1]
+    hd = h * dh
+    x = x_ref[...].reshape(r, dim)
+    do = do_ref[...].reshape(r, dim).astype(jnp.float32)
+
+    # ---- forward recompute ----
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc0 = xf - mean
+    var = jnp.mean(xc0 * xc0, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = xc0 * rstd
+    gammaf = gamma_ref[...]
+    xn = (xhat * gammaf).astype(dtype)
+    xc = x.astype(dtype)
+    q = jnp.dot(xn, wq_ref[...], preferred_element_type=jnp.float32)
+    kv = jnp.dot(xc, wkv_ref[...], preferred_element_type=jnp.float32)
+    k = kv[:, :hd]
+    v = kv[:, hd:]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hd, h), 0) // dh
+    head = jax.lax.broadcasted_iota(jnp.int32, (hd, h), 1)
+    hmat = (lane == head).astype(jnp.float32)
+    qss = jnp.dot(q * q, hmat, preferred_element_type=jnp.float32)
+    kss = jnp.dot(k * k, hmat, preferred_element_type=jnp.float32)
+    qr = jax.lax.rsqrt(jnp.maximum(qss, _EPS_L2 * _EPS_L2))
+    kr = jax.lax.rsqrt(jnp.maximum(kss, _EPS_L2 * _EPS_L2))
+    qfac = jnp.dot(qr, hmat.T, preferred_element_type=jnp.float32)
+    kfac = jnp.dot(kr, hmat.T, preferred_element_type=jnp.float32)
+    qhat = q * qfac
+    khat = k * kfac
+    sq = qs_ref[...]  # tiled (1, hd), includes *scale
+    sk = ks_ref[...]
+    qn = qhat * sq
+    kn = khat * sk
+    c = c_ref[0, 0]
+    maskv = mask_ref[...]
+
+    # ---- backward ----
+    dmerged = jax.lax.dot_general(do, wout_ref[...].astype(jnp.float32),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    merged_parts = []
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for hh in range(h):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        qn_h, kn_h, v_h = qn[:, sl], kn[:, sl], v[:, sl]
+        sim = jax.lax.dot_general(qn_h, kn_h, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        e = jnp.exp(sim - c) * maskv
+        denom = jnp.maximum(
+            jnp.dot(e, ones_ref[...],
+                    preferred_element_type=jnp.float32)[:, :1], 1e-30)
+        p = e / denom
+        merged_parts.append(jnp.dot(p, v_h,
+                                    preferred_element_type=jnp.float32))
+        dout_h = dmerged[:, sl]
+        dv_parts.append(jax.lax.dot_general(
+            p, dout_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(dout_h, v_h, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rs = jnp.dot(p * dp, ones_ref[...],
+                     preferred_element_type=jnp.float32)[:, :1]
+        dsim = p * (dp - rs)
+        dqn = jnp.dot(dsim, kn_h, preferred_element_type=jnp.float32)
+        dkn = jax.lax.dot_general(dsim, qn_h, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dq_parts.append(dqn)
+        dk_parts.append(dkn)
+    merged = jnp.concatenate(merged_parts, axis=-1)
+    dqn_all = jnp.concatenate(dq_parts, axis=-1)
+    dkn_all = jnp.concatenate(dk_parts, axis=-1)
+    dv = jnp.concatenate(dv_parts, axis=-1)
+
+    # qn = qhat * sq  ->  dqhat, d(sq); qhat = q * qfac (per-head l2norm)
+    dqhat = dqn_all * sq
+    dkhat = dkn_all * sk
+    dqs_tile = jnp.sum(dqn_all * qhat, axis=0, keepdims=True)
+    dks_tile = jnp.sum(dkn_all * khat, axis=0, keepdims=True)
+    # du = qfac * (dqhat - qhat * <qhat, dqhat>_head); head dot via hmat
+    qdot = jnp.dot(jnp.dot(qhat * dqhat, hmat,
+                           preferred_element_type=jnp.float32), hmat.T,
+                   preferred_element_type=jnp.float32)
+    kdot = jnp.dot(jnp.dot(khat * dkhat, hmat,
+                           preferred_element_type=jnp.float32), hmat.T,
+                   preferred_element_type=jnp.float32)
+    dq = qfac * (dqhat - qhat * qdot)
+    dk = kfac * (dkhat - khat * kdot)
+
+    dqb = dq.astype(dtype)
+    dkv = jnp.concatenate([dk, dv], axis=-1).astype(dtype)
+    dxn = jax.lax.dot_general(dqb, wq_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx_kv = jax.lax.dot_general(dkv, wkv_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    # LN backward (gamma-only): dxhat = dxn * gamma
+    dxhat = dxn * gammaf
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - m1 - xhat * m2)
+
+    dx_ref[...] = (dx_ln + dx_kv).astype(dx_ref.dtype).reshape(g, n, dim)
+
+    dob = do.astype(dtype)
+    xnb = xn
+    dwq = jax.lax.dot_general(xnb, dqb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dwkv = jax.lax.dot_general(xc, dkv, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dwout = jax.lax.dot_general(merged.astype(dtype), dob,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dgamma = jnp.sum(dxn * xhat, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwkv_ref[...] = jnp.zeros_like(dwkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dqs_ref[...] = jnp.zeros_like(dqs_ref)
+        dks_ref[...] = jnp.zeros_like(dks_ref)
+
+    dwq_ref[...] += dwq
+    dwkv_ref[...] += dwkv
+    dwout_ref[...] += dwout
+    dgamma_ref[...] += dgamma
+    dqs_ref[...] += dqs_tile
+    dks_ref[...] += dks_tile
+
+
+def _vmem_need_bwd(g, n, dim, heads, dim_head):
+    r = g * n
+    hd = heads * dim_head
+    io = 2 * 2 * (g * n * dim * 2) * 2       # x, do in + dx out, dbl-buffered
+    weights = (dim * hd + dim * 2 * hd + hd * dim) * 2
+    wgrads = (2 * dim * hd + 2 * dim * hd) * 4
+    acts = 16 * r * dim * 4                  # f32 activation/grad temps
+    scores = 8 * r * r * 4                   # sim/e/p/dp/dsim + mask + temps
+    return io + weights + wgrads + acts + scores
+
+
+def _plan_bwd(b, n, dim, heads, dim_head) -> Optional[int]:
+    if _plan(b, n, dim, heads, dim_head) is None:
+        return None
+    for g in (16, 8, 4, 2, 1):
+        if b % g == 0 and (g * n) % 8 == 0 \
+                and _vmem_need_bwd(g, n, dim, heads, dim_head) <= _VMEM_BUDGET:
+            return g
+    return None
+
+
+def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
+                             g, *, heads, dim_head, scale, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, dim = x.shape
+    hd = heads * dim_head
+    r = g * n
+    cdt = dtype
+    seq = jnp.arange(r, dtype=jnp.int32) // n
+    mask = (seq[:, None] == seq[None, :]).astype(jnp.float32)
+    qsf = jnp.abs(q_scale.astype(jnp.float32))
+    ksf = jnp.abs(k_scale.astype(jnp.float32))
+    c_bound = (scale * jnp.max(qsf) * jnp.max(ksf)).reshape(1, 1)
+    qs_t = (jnp.tile(q_scale.astype(jnp.float32), heads) * scale)[None, :]
+    ks_t = jnp.tile(k_scale.astype(jnp.float32), heads)[None, :]
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda bi: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    weights = (gamma.astype(jnp.float32)[None, :], wq.astype(cdt),
+               wkv.astype(cdt), qs_t, ks_t, wout.astype(cdt), mask,
+               jnp.ones((r, 8), jnp.float32), c_bound)
+    sx = pl.BlockSpec((g, n, dim), lambda bi: (bi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    outs = [
+        jax.ShapeDtypeStruct((b, n, dim), x.dtype),          # dx
+        jax.ShapeDtypeStruct((dim, hd), jnp.float32),        # dwq
+        jax.ShapeDtypeStruct((dim, 2 * hd), jnp.float32),    # dwkv
+        jax.ShapeDtypeStruct((hd, dim), jnp.float32),        # dwout
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),         # dgamma
+        jax.ShapeDtypeStruct((1, hd), jnp.float32),          # dqs (tiled)
+        jax.ShapeDtypeStruct((1, hd), jnp.float32),          # dks (tiled)
+    ]
+    out_specs = [sx] + [
+        pl.BlockSpec(o.shape, (lambda nd: lambda bi: (0,) * nd)(len(o.shape)),
+                     memory_space=pltpu.VMEM) for o in outs[1:]]
+    dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t = pl.pallas_call(
+        functools.partial(_bwd_kernel, g=g, n=n, heads=heads,
+                          dim_head=dim_head, dtype=cdt),
+        grid=(b // g,),
+        in_specs=[sx, sx] + [full(w) for w in weights],
+        out_specs=out_specs,
+        out_shape=outs)(x, do, *weights)
+
+    # untile the per-head scale grads; q grads fold back the fixed *scale
+    dqs = (dqs_t.reshape(heads, dim_head).sum(0) * scale).astype(q_scale.dtype)
+    dks = dks_t.reshape(heads, dim_head).sum(0).astype(k_scale.dtype)
+    return (dx, dgamma[0].astype(gamma.dtype), dwq.astype(wq.dtype),
+            dwkv.astype(wkv.dtype), dqs, dks, dwout.astype(wout.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_small_qknorm_attention(x, gamma, wq, wkv, q_scale, k_scale, wout,
                                  heads: int, dim_head: int, scale: float,
@@ -239,6 +459,12 @@ def _fwd(x, gamma, wq, wkv, q_scale, k_scale, wout, heads, dim_head, scale,
 
 def _bwd(heads, dim_head, scale, dtype, res, g):
     x, gamma, wq, wkv, q_scale, k_scale, wout = res
+    gb = _plan_bwd(x.shape[0], x.shape[1], x.shape[2], heads, dim_head)
+    if gb is not None:
+        return _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale,
+                                        wout, g.astype(x.dtype), gb,
+                                        heads=heads, dim_head=dim_head,
+                                        scale=scale, dtype=dtype)
     _, vjp = jax.vjp(
         lambda *a: _xla_small_qknorm(*a, heads=heads, dim_head=dim_head,
                                      scale=scale, dtype=dtype),
