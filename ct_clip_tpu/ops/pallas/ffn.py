@@ -118,12 +118,139 @@ def fused_geglu_ff(x, scale, bias, wia, wig, wo, eps=1e-5):
     return _xla_ff(x, scale, bias, wia, wig, wo, eps)
 
 
+def _bwd_kernel(x_ref, do_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref,
+                dx_ref, dwa_ref, dwg_ref, dwo_ref, ds_ref, db_ref, *, eps):
+    """Flash-style FF backward: recompute the forward for this row block in
+    VMEM, emit dx per block, accumulate the weight grads across the
+    sequential grid steps.  Matmuls take bf16 inputs with f32 accumulation;
+    LN statistics, GELU and its derivative run in f32."""
+    from jax.experimental import pallas as pl
+
+    cdt = wa_ref.dtype
+    x = x_ref[...]
+    do = do_ref[...].astype(cdt)
+
+    # ---- forward recompute (same numerics as _kernel) ----
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    sc = s_ref[...].astype(jnp.float32)
+    xn = (xhat * sc + b_ref[...].astype(jnp.float32)).astype(x.dtype) \
+        .astype(cdt)
+    a = jnp.dot(xn, wa_ref[...], preferred_element_type=jnp.float32)
+    g = jnp.dot(xn, wg_ref[...], preferred_element_type=jnp.float32)
+    phi = 0.5 * (1.0 + _erf_as(g * (2.0 ** -0.5)))
+    gelu_g = g * phi
+    act = (a * gelu_g).astype(cdt)
+
+    # ---- backward ----
+    dact = jax.lax.dot_general(do, wo_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    # d gelu(g)/dg = Phi(g) + g * pdf(g)
+    pdf = jnp.exp(-0.5 * g * g) * 0.3989422804014327
+    da = (dact * gelu_g).astype(cdt)
+    dg = (dact * a * (phi + g * pdf)).astype(cdt)
+    dxn = (jax.lax.dot_general(da, wa_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(dg, wg_ref[...], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+
+    dxhat = dxn * sc
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    dwa = jax.lax.dot_general(xn, da, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dwg = jax.lax.dot_general(xn, dg, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dwo = jax.lax.dot_general(act, do, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    db = jnp.sum(dxn, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwa_ref[...] = jnp.zeros_like(dwa_ref)
+        dwg_ref[...] = jnp.zeros_like(dwg_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dwa_ref[...] += dwa
+    dwg_ref[...] += dwg
+    dwo_ref[...] += dwo
+    ds_ref[...] += ds
+    db_ref[...] += db
+
+
+# The bwd kernel needs ~3x the fwd's VMEM (weight-grad accumulators live as
+# both output buffers and stack temps around the `+=`), so it runs with the
+# Mosaic scoped-vmem limit raised above the 16 MiB default — v5e/v4 cores
+# have 128 MiB of physical VMEM.
+_VMEM_LIMIT_BWD = 64 * 1024 * 1024
+
+
+def _pick_m_bwd(n_rows, d, inner, itemsize):
+    weights = 3 * d * inner * itemsize          # wa, wg, wo resident
+    accum = 2 * 3 * d * inner * 4               # dwa/dwg/dwo buffers + temps
+    for m in (512, 256, 128, 64):
+        if n_rows % m:
+            continue
+        need = weights + accum \
+            + 2 * 3 * m * d * itemsize \
+            + 6 * m * inner * 4 + 4 * m * d * 4
+        if need <= _VMEM_LIMIT_BWD - 16 * 1024 * 1024:
+            return m
+    return None
+
+
+def _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, eps, m):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, d = x.shape
+    inner = wia.shape[1]
+    sx = pl.BlockSpec((m, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sv = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    outs = [
+        jax.ShapeDtypeStruct((n_rows, d), x.dtype),      # dx
+        jax.ShapeDtypeStruct((d, inner), jnp.float32),   # dwa
+        jax.ShapeDtypeStruct((d, inner), jnp.float32),   # dwg
+        jax.ShapeDtypeStruct((inner, d), jnp.float32),   # dwo
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dscale
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dbias
+    ]
+    dx, dwa, dwg, dwo, ds, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps), grid=(n_rows // m,),
+        in_specs=[sx, sx, sv((1, d)), sv((1, d)), sv((d, inner)),
+                  sv((d, inner)), sv((inner, d))],
+        out_specs=[sx] + [sv(o.shape) for o in outs[1:]],
+        out_shape=outs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BWD))(
+            x, do, scale[None, :], bias[None, :], wia, wig, wo)
+    return (dx, ds[0].astype(scale.dtype), db[0].astype(bias.dtype),
+            dwa.astype(wia.dtype), dwg.astype(wig.dtype), dwo.astype(wo.dtype))
+
+
 def _ff_fwd(x, scale, bias, wia, wig, wo, eps):
     return fused_geglu_ff(x, scale, bias, wia, wig, wo, eps), \
         (x, scale, bias, wia, wig, wo)
 
 
 def _ff_bwd(eps, res, g):
+    x, scale, bias, wia, wig, wo = res
+    if _plan(x.shape, x.shape[1], wia.shape[1], wia.dtype.itemsize) is not None:
+        m = _pick_m_bwd(x.shape[0], x.shape[1], wia.shape[1],
+                        wia.dtype.itemsize)
+        if m is not None:
+            return _pallas_ff_bwd(x, scale, bias, wia, wig, wo,
+                                  g.astype(x.dtype), eps, m)
     _, vjp = jax.vjp(lambda *a: _xla_ff(*a, eps), *res)
     return vjp(g)
 

@@ -355,12 +355,19 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
     dks_ref[...] += dks_tile
 
 
+# Backward runs with the Mosaic scoped-vmem limit raised above the 16 MiB
+# default (physical VMEM on v4/v5e is 128 MiB): the weight-grad accumulators
+# count twice (output buffer + stack temp around the `+=`), and larger
+# sequence-packing factors g mean fewer grid steps and fatter matmuls.
+_VMEM_LIMIT_BWD = 64 * 1024 * 1024
+
+
 def _vmem_need_bwd(g, n, dim, heads, dim_head):
     r = g * n
     hd = heads * dim_head
     io = 2 * 2 * (g * n * dim * 2) * 2       # x, do in + dx out, dbl-buffered
     weights = (dim * hd + dim * 2 * hd + hd * dim) * 2
-    wgrads = (2 * dim * hd + 2 * dim * hd) * 4
+    wgrads = 2 * (2 * dim * hd + 2 * dim * hd) * 4   # buffers + stack temps
     acts = 16 * r * dim * 4                  # f32 activation/grad temps
     scores = 8 * r * r * 4                   # sim/e/p/dp/dsim + mask + temps
     return io + weights + wgrads + acts + scores
@@ -369,9 +376,10 @@ def _vmem_need_bwd(g, n, dim, heads, dim_head):
 def _plan_bwd(b, n, dim, heads, dim_head) -> Optional[int]:
     if _plan(b, n, dim, heads, dim_head) is None:
         return None
-    for g in (16, 8, 4, 2, 1):
+    for g in (64, 32, 16, 8, 4, 2, 1):
         if b % g == 0 and (g * n) % 8 == 0 \
-                and _vmem_need_bwd(g, n, dim, heads, dim_head) <= _VMEM_BUDGET:
+                and _vmem_need_bwd(g, n, dim, heads, dim_head) \
+                <= _VMEM_LIMIT_BWD - 16 * 1024 * 1024:
             return g
     return None
 
@@ -420,7 +428,9 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
         grid=(b // g,),
         in_specs=[sx, sx] + [full(w) for w in weights],
         out_specs=out_specs,
-        out_shape=outs)(x, do, *weights)
+        out_shape=outs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BWD))(x, do, *weights)
 
     # untile the per-head scale grads; q grads fold back the fixed *scale
     dqs = (dqs_t.reshape(heads, dim_head).sum(0) * scale).astype(q_scale.dtype)

@@ -194,6 +194,33 @@ def test_fused_ff_kernel_on_tpu_if_available():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2)
 
 
+def test_fused_ff_bwd_kernel_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.ffn import (_pallas_ff_bwd, _pick_m_bwd,
+                                            _xla_ff)
+
+    rng = np.random.RandomState(21)
+    n, d, inner = 2048, 512, 1365
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32)).astype(jnp.bfloat16)
+    scale = jnp.asarray(rng.rand(d).astype(np.float32))
+    bias = jnp.asarray(rng.rand(d).astype(np.float32))
+    wia = jnp.asarray((rng.randn(d, inner) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    wig = jnp.asarray((rng.randn(d, inner) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    wo = jnp.asarray((rng.randn(inner, d) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    do = jnp.asarray(rng.randn(n, d).astype(np.float32)).astype(jnp.bfloat16)
+    m = _pick_m_bwd(n, d, inner, 2)
+    assert m is not None
+    got = _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, 1e-5, m)
+    _, vjp = jax.vjp(lambda *a: _xla_ff(*a, 1e-5), x, scale, bias, wia,
+                     wig, wo)
+    ref = vjp(do)
+    for a, b_ in zip(got, ref):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        denom = max(np.abs(b32).max(), 1.0)
+        assert np.max(np.abs(a32 - b32)) / denom < 2e-2
+
+
 def test_fused_attention_key_bias_matches_xla():
     from ct_clip_tpu.ops.pallas.attention import _xla_attention, fused_attention
 
