@@ -152,39 +152,131 @@ def _pallas_attention(q, k, v, bias, g, key_bias=None):
             q, kT, v, bias.astype(jnp.float32))
 
 
+_VMEM_LIMIT_BWD = 64 * 1024 * 1024
+
+
 def _bwd_kernel_bias(q_ref, kT_ref, vT_ref, b_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, db_ref, *, bias_per_head):
-    """Grid (h, b): recompute scores in VMEM, emit dq/dk/dv and accumulate
-    dbias across the inner batch steps (the bias block is revisited on
-    consecutive steps, so += is well-defined)."""
+                     dq_ref, dk_ref, dv_ref, db_ref, *, g, bias_per_head):
+    """Grid (h, b//g): recompute scores in VMEM, emit dq/dk/dv per block and
+    accumulate dbias across the inner batch steps (the bias block is
+    revisited on consecutive steps, so += is well-defined).  The grad
+    matmuls take bf16 inputs with f32 accumulation — an f32 MXU pass is
+    several times slower and the dP rounding is ~1e-3 relative."""
     from jax.experimental import pallas as pl
 
     hi, bi = pl.program_id(0), pl.program_id(1)
     db_fresh = (bi == 0) if bias_per_head else ((bi == 0) & (hi == 0))
-    q_ = q_ref[0, 0]
-    kT = kT_ref[0, 0]
-    vT = vT_ref[0, 0]
-    do_ = do_ref[0, 0]
-    sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + b_ref[0, 0]
-    attn = jax.nn.softmax(sim, axis=-1)
-    dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
-    row = jnp.sum(dS * attn, axis=-1, keepdims=True)
-    dP = attn * (dS - row)
-    dq_ref[0, 0] = jax.lax.dot_general(
-        dP, kT.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0, 0] = jax.lax.dot_general(
-        dP, q_.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
-    dv_ref[0, 0] = jax.lax.dot_general(
-        attn, do_.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    cdt = q_ref.dtype
+    bias_blk = b_ref[0, 0]
+    db_acc = None
+    for j in range(g):
+        q_ = q_ref[j, 0]
+        kT = kT_ref[j, 0]
+        vT = vT_ref[j, 0]
+        do_ = do_ref[j, 0]
+        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + bias_blk
+        attn = jax.nn.softmax(sim, axis=-1)
+        dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
+        row = jnp.sum(dS * attn, axis=-1, keepdims=True)
+        dP = attn * (dS - row)
+        dPb = dP.astype(cdt)
+        dq_ref[j, 0] = jax.lax.dot_general(
+            dPb, kT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[j, 0] = jax.lax.dot_general(
+            dPb, q_, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dv_ref[j, 0] = jax.lax.dot_general(
+            attn.astype(cdt), do_, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        db_acc = dP if db_acc is None else db_acc + dP
 
     @pl.when(db_fresh)
     def _():
         db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
 
-    db_ref[0, 0] += dP
+    db_ref[0, 0] += db_acc
+
+
+def _pick_g_bwd(b, n, d, itemsize):
+    d_pad = ((d + 127) // 128) * 128
+    for g in (16, 8, 4, 2, 1):
+        if b % g:
+            continue
+        per_step = g * (6 * n * d_pad * itemsize + d * n * itemsize)
+        scores = 5 * n * n * 4           # sim/attn/dS/dP + bf16 copies
+        acc = 3 * n * n * 4              # resident bias + db buffer + temp
+        if 2 * per_step + scores + acc <= _VMEM_LIMIT_BWD - 16 * 1024 * 1024:
+            return g
+    return 1
+
+
+def _bwd_kernel_kbias(q_ref, kT_ref, vT_ref, kb_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, dkb_ref, *, g):
+    """Grid (b//g, h) — batch OUTER so the per-key-bias grad block (indexed
+    by batch only) is revisited on consecutive head steps and can be
+    accumulated with +=."""
+    from jax.experimental import pallas as pl
+
+    hi = pl.program_id(1)
+    cdt = q_ref.dtype
+    for j in range(g):
+        q_ = q_ref[j, 0]
+        kT = kT_ref[j, 0]
+        vT = vT_ref[j, 0]
+        do_ = do_ref[j, 0]
+        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + kb_ref[j]
+        attn = jax.nn.softmax(sim, axis=-1)
+        dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
+        row = jnp.sum(dS * attn, axis=-1, keepdims=True)
+        dP = attn * (dS - row)
+        dPb = dP.astype(cdt)
+        dq_ref[j, 0] = jax.lax.dot_general(
+            dPb, kT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[j, 0] = jax.lax.dot_general(
+            dPb, q_, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dv_ref[j, 0] = jax.lax.dot_general(
+            attn.astype(cdt), do_, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dkb_j = jnp.sum(dP, axis=0, keepdims=True)
+
+        @pl.when(hi == 0)
+        def _():
+            dkb_ref[j] = jnp.zeros_like(dkb_ref[j])
+
+        dkb_ref[j] += dkb_j
+
+
+def _pallas_attention_bwd_kbias(q, k, v, key_bias, do):
+    """Returns (dq, dk, dv, dkey_bias) for per-key bias (b, n)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    kT = jnp.swapaxes(k, -1, -2)
+    vT = jnp.swapaxes(v, -1, -2)
+    g = _pick_g_bwd(b, n, d, q.dtype.itemsize)
+    sq = pl.BlockSpec((g, 1, n, d), lambda bi, hi: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((g, 1, d, n), lambda bi, hi: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    skb = pl.BlockSpec((g, 1, n), lambda bi, hi: (bi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dq, dk, dv, dkb = pl.pallas_call(
+        functools.partial(_bwd_kernel_kbias, g=g),
+        grid=(b // g, h),
+        in_specs=[sq, st, st, skb, sq],
+        out_specs=[sq, sq, sq, skb],
+        out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, n, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+                   jax.ShapeDtypeStruct((b, 1, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BWD))(
+        q, kT, vT, key_bias.astype(jnp.float32)[:, None, :], do)
+    return dq, dk, dv, dkb[:, 0, :].astype(key_bias.dtype)
 
 
 def _pallas_attention_bwd(q, k, v, bias, do):
@@ -196,22 +288,25 @@ def _pallas_attention_bwd(q, k, v, bias, do):
     kT = jnp.swapaxes(k, -1, -2)
     vT = jnp.swapaxes(v, -1, -2)
     bh = bias.shape[1]
-    sq = pl.BlockSpec((1, 1, n, d), lambda hi, bi: (bi, hi, 0, 0),
+    g = _pick_g_bwd(b, n, d, q.dtype.itemsize)
+    sq = pl.BlockSpec((g, 1, n, d), lambda hi, bi: (bi, hi, 0, 0),
                       memory_space=pltpu.VMEM)
-    st = pl.BlockSpec((1, 1, d, n), lambda hi, bi: (bi, hi, 0, 0),
+    st = pl.BlockSpec((g, 1, d, n), lambda hi, bi: (bi, hi, 0, 0),
                       memory_space=pltpu.VMEM)
     sb = pl.BlockSpec((1, 1, n, n),
                       lambda hi, bi: (0, hi if bh > 1 else 0, 0, 0),
                       memory_space=pltpu.VMEM)
     dq, dk, dv, db = pl.pallas_call(
-        functools.partial(_bwd_kernel_bias, bias_per_head=bh > 1),
-        grid=(h, b),
+        functools.partial(_bwd_kernel_bias, g=g, bias_per_head=bh > 1),
+        grid=(h, b // g),
         in_specs=[sq, st, st, sb, sq],
         out_specs=[sq, sq, sq, sb],
         out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, n, d), k.dtype),
                    jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
-                   jax.ShapeDtypeStruct((1, bh, n, n), jnp.float32)])(
+                   jax.ShapeDtypeStruct((1, bh, n, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BWD))(
         q, kT, vT, bias.astype(jnp.float32), do)
     return dq, dk, dv, db.astype(bias.dtype)
 
@@ -248,6 +343,11 @@ def _fused_bwd(res, g):
             and 4 * n * n * 4 + 2 * n * n * 4 <= _VMEM_BUDGET):
         dq, dk, dv, db = _pallas_attention_bwd(q, k, v, bias, g)
         return dq, dk, dv, db, None
+    if (bias is None and key_bias is not None
+            and key_bias.shape == (q.shape[0], n)
+            and _plan(q.shape, q.dtype.itemsize, None) is not None):
+        dq, dk, dv, dkb = _pallas_attention_bwd_kbias(q, k, v, key_bias, g)
+        return dq, dk, dv, None, dkb
     diff = [x for x in (bias, key_bias) if x is not None]
     _, vjp = jax.vjp(
         lambda q_, k_, v_, *rest: _xla_attention(

@@ -261,6 +261,29 @@ def test_fused_attention_bwd_kernel_on_tpu_if_available():
             assert np.max(np.abs(a32 - b32)) / scale < 1.5e-2
 
 
+def test_fused_attention_kbias_bwd_kernel_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.attention import (
+        _pallas_attention_bwd_kbias, _xla_attention)
+
+    b, h, n, d = 8, 12, 512, 64
+    rng = np.random.RandomState(17)
+    mk = lambda: jnp.asarray(rng.randn(b, h, n, d).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    q, k, v, do = mk(), mk(), mk(), mk()
+    key_bias = jnp.asarray(
+        np.where(rng.rand(b, n) < 0.2, -1e9, 0.0).astype(np.float32))
+    got = _pallas_attention_bwd_kbias(q, k, v, key_bias, do)
+    _, vjp = jax.vjp(lambda q_, k_, v_, kb_: _xla_attention(
+        q_, k_, v_, None, kb_), q, k, v, key_bias)
+    ref = vjp(do)
+    for a, b_ in zip(got, ref):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        scale = max(np.abs(b32).max(), 1.0)
+        assert np.max(np.abs(a32 - b32)) / scale < 1.5e-2
+
+
 # ---------------------------------------------------------- small attention
 
 def _small_attn_inputs(b=12, n=24, dim=128, heads=4, dh=32, dtype=jnp.float32):
