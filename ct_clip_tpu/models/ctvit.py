@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from ..config import CTViTConfig
 from ..ops.attention import ContinuousPositionBias, MaskgitTransformer
-from ..ops.norms import StandardLayerNorm
+from ..ops.mlp import _LNParams
 from ..ops.vq import CosineVQ
 
 
@@ -53,7 +53,9 @@ class CTViT(nn.Module):
                                             (patch_dim, cfg.dim))
         self.patch_proj_bias = self.param("patch_proj_bias",
                                           nn.initializers.zeros, (cfg.dim,))
-        self.patch_norm_out = StandardLayerNorm(cfg.dim, name="patch_norm_out")
+        # raw scale/bias holder (same param tree as StandardLayerNorm) so
+        # the out-LN can live inside the fused patch-embed kernel
+        self.patch_norm_out = _LNParams(cfg.dim, name="patch_norm_out")
 
         self.spatial_rel_pos_bias = ContinuousPositionBias(
             dim=cfg.dim, heads=cfg.heads, num_dims=2,
@@ -100,7 +102,8 @@ class CTViT(nn.Module):
         idx = (((ti * pt + zi) * H + (hi * p + p1)) * W + (wi * p + p2)) * c + ci
         return idx.reshape(-1).astype(np.int32)
 
-    def embed_patches(self, video: jnp.ndarray) -> jnp.ndarray:
+    def embed_patches(self, video: jnp.ndarray,
+                      train: bool = False) -> jnp.ndarray:
         """Fused patchify + patch-LN + projection + LN:
         (b, f, H, W, c) -> (b, t, h, w, dim).
 
@@ -117,21 +120,38 @@ class CTViT(nn.Module):
         pt, p = cfg.temporal_patch_size, cfg.patch_size
         t, h, w = f // pt, H // p, W // p
 
+        s2, b2 = self.patch_norm_out()
         if c == 1:
-            # Pallas relayout kernel on TPU (XLA gather fallback elsewhere):
-            # the gather path costs ~108 ms/volume, the kernel runs at HBM
-            # bandwidth (ops/pallas/patchify.py).
-            from ..ops.pallas.patchify import rearrange_patches
+            from ..ops.pallas.patchify import (_xla_patch_embed,
+                                               fused_patch_embed)
 
-            patches = rearrange_patches(video[..., 0], pt, p)
-        else:
-            perm = jnp.asarray(self.patch_permutation(f, H, c, pt, p))
-            flat = video.reshape(b, f * H * W * c)
-            patches = jnp.take(flat, perm, axis=1).reshape(b, t * h * w,
-                                                           cfg.patch_dim)
+            if not train:
+                # Inference: one Pallas kernel for the whole chain on TPU
+                # (XLA composition with the relayout kernel elsewhere): each
+                # patch block goes shuffle -> LN -> projection -> LN without
+                # leaving VMEM, so the (b, t*h*w, 4000) patch tensor (884 MB
+                # at production shape) never hits HBM.
+                tokens = fused_patch_embed(
+                    video[..., 0], self.patch_norm_in_scale,
+                    self.patch_norm_in_bias, self.patch_proj_kernel,
+                    self.patch_proj_bias, s2, b2, pt, p, 1e-5, self.dtype)
+            else:
+                # Training: relayout kernel + XLA LN/matmul — XLA stores the
+                # patch tensor as a residual, so the backward reuses it
+                # instead of re-shuffling (faster fwd+bwd than the fused
+                # kernel, which would rebuild patches in its backward).
+                tokens = _xla_patch_embed(
+                    video[..., 0], self.patch_norm_in_scale,
+                    self.patch_norm_in_bias, self.patch_proj_kernel,
+                    self.patch_proj_bias, s2, b2, pt, p, 1e-5, self.dtype)
+            return tokens.reshape(b, t, h, w, cfg.dim)
 
         from ..ops.norms import layer_norm
 
+        perm = jnp.asarray(self.patch_permutation(f, H, c, pt, p))
+        flat = video.reshape(b, f * H * W * c)
+        patches = jnp.take(flat, perm, axis=1).reshape(b, t * h * w,
+                                                       cfg.patch_dim)
         x = layer_norm(patches, self.patch_norm_in_scale,
                        self.patch_norm_in_bias)
         tokens = jnp.einsum("bnp,pd->bnd", x.astype(self.dtype),
@@ -139,7 +159,7 @@ class CTViT(nn.Module):
                             preferred_element_type=jnp.float32)
         tokens = (tokens.astype(self.dtype)
                   + self.patch_proj_bias.astype(self.dtype))
-        tokens = self.patch_norm_out(tokens)
+        tokens = layer_norm(tokens, s2, b2)
         return tokens.reshape(b, t, h, w, cfg.dim)
 
     # ----------------------------------------------------------------- main
@@ -154,7 +174,7 @@ class CTViT(nn.Module):
         cfg = self.config
         assert video.shape[2] == cfg.image_size and video.shape[3] == cfg.image_size
 
-        tokens = self.embed_patches(video.astype(self.dtype))
+        tokens = self.embed_patches(video.astype(self.dtype), train=train)
         tokens = self.encode(tokens, deterministic)
         b, t, h, w, d = tokens.shape
 

@@ -205,6 +205,26 @@ class QKNormAttention(nn.Module):
             wout = _DenseKernel(h * dh, self.dim, name="to_out")()
             return out @ wout.astype(self.dtype)
 
+        from .pallas.spatial_attention import _plan as _spatial_plan
+
+        if (attn_bias is not None and attn_bias.ndim == 3
+                and attn_bias.shape == (h, x.shape[1], x.shape[1])
+                and mask is None and context is None and not self.causal
+                and self.num_null_kv == 0 and not dropout_active
+                and _spatial_plan(x.shape[0], x.shape[1], self.dim, h, dh)):
+            # Spatial-stage path (the CTViT 576-token planes with CPB bias):
+            # one fused Pallas sublayer — no head-major relayout ever exists
+            # (~12 ms/step of layout copies at production shape otherwise).
+            from .pallas.spatial_attention import \
+                fused_spatial_qknorm_attention
+
+            q_scale = self.param("q_scale", nn.initializers.ones, (dh,))
+            k_scale = self.param("k_scale", nn.initializers.ones, (dh,))
+            wout = _DenseKernel(h * dh, self.dim, name="to_out")()
+            return fused_spatial_qknorm_attention(
+                x_pre, gamma, wq, wkv, q_scale, k_scale, wout,
+                attn_bias, h, dh, self.scale, self.dtype)
+
         q = x.astype(self.dtype) @ wq.astype(self.dtype)
         kv = kv_input.astype(self.dtype) @ wkv.astype(self.dtype)
         k, v = jnp.split(kv, 2, axis=-1)

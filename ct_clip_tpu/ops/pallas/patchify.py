@@ -211,3 +211,252 @@ def _rearrange_bwd(pt, p, shape, g):
 
 
 rearrange_patches.defvjp(_rearrange_fwd, _rearrange_bwd)
+
+
+# ----------------------------------------------------- fused patch embed
+# One kernel for the whole to_patch_emb chain (reference ctvit.py:170-175:
+# Rearrange -> LayerNorm(patch_dim) -> Linear(patch_dim, dim) ->
+# LayerNorm(dim)).  The relayout-only kernel above writes the (b, t*h*w,
+# patch_dim) patch tensor to HBM (884 MB at production shape) and the LN +
+# projection read it back twice more; fusing keeps each patch block in VMEM
+# from shuffle to projection, so HBM traffic drops to video-in + tokens-out.
+# Backward splits in two: a Pallas kernel accumulates the weight/LN grads
+# (flash-style recompute per block), while d(video) — never needed in
+# practice, the video is data — is composed in XLA from rearrange_patches'
+# own VJP and DCE'd when unused.
+
+_VMEM_LIMIT_EMBED = 64 * 1024 * 1024
+
+
+def _embed_shuffle(x_ref, scratch, *, pt, p, hb, w):
+    for z in range(pt):
+        slab = x_ref[0, z]                      # (hb*p, w*p)
+        t3 = slab.T.reshape(w, p, hb * p)
+        tt = t3.transpose(0, 2, 1)
+        for ph in range(hb):
+            for p1 in range(p):
+                col = z * p * p + p1 * p
+                scratch[ph * w:(ph + 1) * w, col:col + p] = \
+                    tt[:, ph * p + p1, :]
+
+
+def _embed_kernel(x_ref, s1_ref, b1_ref, wi_ref, pb_ref, s2_ref, b2_ref,
+                  o_ref, scratch, *, pt, p, hb, w, eps):
+    _embed_shuffle(x_ref, scratch, pt=pt, p=p, hb=hb, w=w)
+    dtype = wi_ref.dtype
+    xf = scratch[...].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = ((xc * jax.lax.rsqrt(var + eps)) * s1_ref[...]
+          + b1_ref[...]).astype(dtype)
+    y = jnp.dot(xn, wi_ref[...], preferred_element_type=jnp.float32)
+    yb = y.astype(dtype) + pb_ref[...].astype(dtype)
+    yf = yb.astype(jnp.float32)
+    mean2 = jnp.mean(yf, axis=-1, keepdims=True)
+    yc = yf - mean2
+    var2 = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    out = (yc * jax.lax.rsqrt(var2 + eps)) * s2_ref[...] + b2_ref[...]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _embed_bwd_kernel(x_ref, do_ref, s1_ref, b1_ref, wi_ref, pb_ref,
+                      s2_ref, b2_ref,
+                      dwi_ref, ds1_ref, db1_ref, dpb_ref, ds2_ref, db2_ref,
+                      scratch, *, pt, p, hb, w, eps):
+    from jax.experimental import pallas as pl
+
+    _embed_shuffle(x_ref, scratch, pt=pt, p=p, hb=hb, w=w)
+    dtype = wi_ref.dtype
+    # forward recompute (numerics identical to _embed_kernel)
+    xf = scratch[...].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd1 = jax.lax.rsqrt(var + eps)
+    xhat1 = xc * rstd1
+    xn = (xhat1 * s1_ref[...] + b1_ref[...]).astype(dtype)
+    y = jnp.dot(xn, wi_ref[...], preferred_element_type=jnp.float32)
+    yb = y.astype(dtype) + pb_ref[...].astype(dtype)
+    yf = yb.astype(jnp.float32)
+    mean2 = jnp.mean(yf, axis=-1, keepdims=True)
+    yc = yf - mean2
+    var2 = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    rstd2 = jax.lax.rsqrt(var2 + eps)
+    xhat2 = yc * rstd2
+
+    do = do_ref[0].astype(jnp.float32)
+    ds2 = jnp.sum(do * xhat2, axis=0, keepdims=True)
+    db2 = jnp.sum(do, axis=0, keepdims=True)
+    dxhat2 = do * s2_ref[...]
+    m1 = jnp.mean(dxhat2, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat2 * xhat2, axis=-1, keepdims=True)
+    dyb = rstd2 * (dxhat2 - m1 - xhat2 * m2)
+    dpb = jnp.sum(dyb, axis=0, keepdims=True)
+    dyb_b = dyb.astype(dtype)
+    dwi = jax.lax.dot_general(xn, dyb_b, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dxn = jax.lax.dot_general(dyb_b, wi_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds1 = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
+    db1 = jnp.sum(dxn, axis=0, keepdims=True)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) \
+        & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        dwi_ref[...] = jnp.zeros_like(dwi_ref)
+        ds1_ref[...] = jnp.zeros_like(ds1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dpb_ref[...] = jnp.zeros_like(dpb_ref)
+        ds2_ref[...] = jnp.zeros_like(ds2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dwi_ref[...] += dwi
+    ds1_ref[...] += ds1
+    db1_ref[...] += db1
+    dpb_ref[...] += dpb
+    ds2_ref[...] += ds2
+    db2_ref[...] += db2
+
+
+def _embed_grid(video, pt, p, compute_dtype):
+    b, F, H, W = video.shape
+    t, h, w = F // pt, H // p, W // p
+    kdtype = _kernel_dtype(compute_dtype)
+    hb = _pick_hb(pt, p, h, w, _sublane_for(kdtype))
+    if hb is None:
+        kdtype = jnp.float32
+        hb = _pick_hb(pt, p, h, w, 8)
+    return t, h, w, hb, kdtype
+
+
+def _pallas_patch_embed(video, s1, b1, wi, pbias, s2, b2, pt, p, eps, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, F, H, W = video.shape
+    t, h, w, hb, kdtype = _embed_grid(video, pt, p, dtype)
+    splits = h // hb
+    patch_dim = pt * p * p
+    dim = wi.shape[1]
+    sv = lambda a: pl.BlockSpec(a.shape, (lambda nd: lambda bi, ti, si:
+                                          (0,) * nd)(a.ndim),
+                                memory_space=pltpu.VMEM)
+    weights = (s1.astype(jnp.float32)[None, :], b1.astype(jnp.float32)[None, :],
+               wi.astype(dtype), pbias.astype(dtype)[None, :],
+               s2.astype(jnp.float32)[None, :], b2.astype(jnp.float32)[None, :])
+    out = pl.pallas_call(
+        functools.partial(_embed_kernel, pt=pt, p=p, hb=hb, w=w, eps=eps),
+        grid=(b, t, splits),
+        in_specs=[pl.BlockSpec((1, pt, hb * p, W),
+                               lambda bi, ti, si: (bi, ti, si, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [sv(a) for a in weights],
+        out_specs=pl.BlockSpec((1, hb * w, dim),
+                               lambda bi, ti, si: (bi, ti * splits + si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t * h * w, dim), dtype),
+        scratch_shapes=[pltpu.VMEM((hb * w, patch_dim), kdtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_EMBED),
+    )(video.astype(kdtype), *weights)
+    return out
+
+
+def _pallas_patch_embed_bwd(video, s1, b1, wi, pbias, s2, b2, do,
+                            pt, p, eps, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, F, H, W = video.shape
+    t, h, w, hb, kdtype = _embed_grid(video, pt, p, dtype)
+    splits = h // hb
+    patch_dim = pt * p * p
+    dim = wi.shape[1]
+    sv = lambda a: pl.BlockSpec(a.shape, (lambda nd: lambda bi, ti, si:
+                                          (0,) * nd)(a.ndim),
+                                memory_space=pltpu.VMEM)
+    weights = (s1.astype(jnp.float32)[None, :], b1.astype(jnp.float32)[None, :],
+               wi.astype(dtype), pbias.astype(dtype)[None, :],
+               s2.astype(jnp.float32)[None, :], b2.astype(jnp.float32)[None, :])
+    outs = [
+        jax.ShapeDtypeStruct((patch_dim, dim), jnp.float32),   # dwi
+        jax.ShapeDtypeStruct((1, patch_dim), jnp.float32),     # ds1
+        jax.ShapeDtypeStruct((1, patch_dim), jnp.float32),     # db1
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),           # dpbias
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),           # ds2
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),           # db2
+    ]
+    dwi, ds1, db1, dpb, ds2, db2 = pl.pallas_call(
+        functools.partial(_embed_bwd_kernel, pt=pt, p=p, hb=hb, w=w, eps=eps),
+        grid=(b, t, splits),
+        in_specs=[pl.BlockSpec((1, pt, hb * p, W),
+                               lambda bi, ti, si: (bi, ti, si, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, hb * w, dim),
+                               lambda bi, ti, si: (bi, ti * splits + si, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [sv(a) for a in weights],
+        out_specs=[sv(o) for o in outs],
+        out_shape=outs,
+        scratch_shapes=[pltpu.VMEM((hb * w, patch_dim), kdtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_EMBED),
+    )(video.astype(kdtype), do.astype(dtype), *weights)
+    return (ds1[0].astype(s1.dtype), db1[0].astype(b1.dtype),
+            dwi.astype(wi.dtype), dpb[0].astype(pbias.dtype),
+            ds2[0].astype(s2.dtype), db2[0].astype(b2.dtype))
+
+
+def _xla_patch_embed(video, s1, b1, wi, pbias, s2, b2, pt, p, eps, dtype):
+    from ..norms import layer_norm
+
+    patches = rearrange_patches(video, pt, p)
+    x = layer_norm(patches, s1, b1, eps)
+    y = jnp.einsum("bnp,pd->bnd", x.astype(dtype), wi.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    yb = y.astype(dtype) + pbias.astype(dtype)
+    return layer_norm(yb, s2, b2, eps).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_patch_embed(video, s1, b1, wi, pbias, s2, b2,
+                      pt: int, p: int, eps: float = 1e-5,
+                      dtype=jnp.bfloat16):
+    """Whole to_patch_emb chain on (b, F, H, W) single-channel video:
+    patchify -> LN(patch_dim; s1, b1) -> @wi + pbias -> LN(dim; s2, b2).
+    Returns (b, t*h*w, dim) in the compute dtype."""
+    _, F, H, W = video.shape
+    if _use_pallas(pt, p, H // p, W // p) and dtype == jnp.bfloat16:
+        return _pallas_patch_embed(video, s1, b1, wi, pbias, s2, b2,
+                                   pt, p, eps, dtype)
+    return _xla_patch_embed(video, s1, b1, wi, pbias, s2, b2,
+                            pt, p, eps, dtype)
+
+
+def _pe_fwd(video, s1, b1, wi, pbias, s2, b2, pt, p, eps, dtype):
+    out = fused_patch_embed(video, s1, b1, wi, pbias, s2, b2,
+                            pt, p, eps, dtype)
+    return out, (video, s1, b1, wi, pbias, s2, b2)
+
+
+def _pe_bwd(pt, p, eps, dtype, res, g):
+    video, s1, b1, wi, pbias, s2, b2 = res
+    _, F, H, W = video.shape
+    if _use_pallas(pt, p, H // p, W // p) and dtype == jnp.bfloat16:
+        ds1, db1, dwi, dpb, ds2, db2 = _pallas_patch_embed_bwd(
+            video, s1, b1, wi, pbias, s2, b2, g, pt, p, eps, dtype)
+        # d(video) via the XLA composition (DCE'd when unused — the video
+        # is training data in every production path)
+        _, vjp = jax.vjp(lambda v: _xla_patch_embed(
+            v, s1, b1, wi, pbias, s2, b2, pt, p, eps, dtype), video)
+        dvideo, = vjp(g)
+        return dvideo, ds1, db1, dwi, dpb, ds2, db2
+    _, vjp = jax.vjp(lambda *a: _xla_patch_embed(*a, pt, p, eps, dtype),
+                     video, s1, b1, wi, pbias, s2, b2)
+    return vjp(g)
+
+
+fused_patch_embed.defvjp(_pe_fwd, _pe_bwd)

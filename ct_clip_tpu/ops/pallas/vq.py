@@ -1,0 +1,125 @@
+"""Pallas TPU kernels for the cosine-VQ hot paths (ops/vq.py).
+
+Two kernels, both gridded over row blocks of the flattened token stream
+(production shape: 110592 tokens x 512 dims against 8192 codes):
+
+  * assignment: per block, l2-normalize rows in VMEM, one (m, 512) x
+    (512, 8192) MXU matmul against the resident l2-normalized codebook,
+    lane-argmax -> code ids.  The XLA path (`_chunked_argmax_sim`) runs the
+    same math as a lax.map over 4096-row tiles whose (4096, 8192) f32
+    similarity tiles round-trip HBM — ~5 ms of pure traffic per call.
+  * EMA cluster stats: per block, rebuild the one-hot assignment from the
+    ids with an iota compare (never materialized in HBM: 3.6 GB at
+    production shape) and accumulate bins = sum(onehot) and
+    embed_sum = onehot^T @ x_n across the sequential grid steps.
+
+Similarity runs with bf16 inputs and f32 accumulation (the model feeds bf16
+activations anyway); codebook vectors are pre-normalized in XLA and cast to
+bf16 once per call.  Ids match the XLA f32 path except for exact
+cosine-similarity ties at bf16 resolution (~1e-3 on random inputs, none on
+real token distributions where code gaps are >> 1e-2).  Falls back to the
+XLA path off-TPU or for non-conforming shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS_L2 = 1e-12
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _plan(n: int, dim: int, k: int) -> Optional[int]:
+    if dim % 128 or k % 128:
+        return None
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return None
+    except Exception:  # noqa: BLE001
+        return None
+    for m in (512, 256, 128):
+        if n % m:
+            continue
+        if m * k * 4 + k * dim * 2 + 4 * m * dim * 4 \
+                <= _VMEM_LIMIT - 16 * 1024 * 1024:
+            return m
+    return None
+
+
+def _norm_rows(x_f32):
+    sumsq = jnp.sum(x_f32 * x_f32, axis=-1, keepdims=True)
+    return x_f32 * jax.lax.rsqrt(jnp.maximum(sumsq, _EPS_L2 * _EPS_L2))
+
+
+def _assign_kernel(x_ref, eb_ref, ids_ref):
+    xn = _norm_rows(x_ref[...].astype(jnp.float32)).astype(eb_ref.dtype)
+    sim = jax.lax.dot_general(xn, eb_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ids_ref[...] = jnp.argmax(sim, axis=-1, keepdims=True).astype(jnp.int32)
+
+
+def pallas_assign(flat: jnp.ndarray, embed_n: jnp.ndarray,
+                  m: int) -> jnp.ndarray:
+    """argmax_k l2norm(flat) @ embed_n.T; flat (n, dim) raw (un-normalized),
+    embed_n (k, dim) pre-l2-normalized.  Returns (n,) int32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, dim = flat.shape
+    k = embed_n.shape[0]
+    sx = pl.BlockSpec((m, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    se = pl.BlockSpec((k, dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    si = pl.BlockSpec((m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ids = pl.pallas_call(
+        _assign_kernel, grid=(n // m,),
+        in_specs=[sx, se], out_specs=si,
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(flat, embed_n.astype(jnp.bfloat16))
+    return ids[:, 0]
+
+
+def _stats_kernel(x_ref, ids_ref, bins_ref, esum_ref, *, k):
+    from jax.experimental import pallas as pl
+
+    xn = _norm_rows(x_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+    m = xn.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+    onehot = (ids_ref[...] == lane).astype(jnp.bfloat16)
+    bins = jnp.sum(onehot.astype(jnp.float32), axis=0, keepdims=True)
+    esum = jax.lax.dot_general(onehot, xn, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        bins_ref[...] = jnp.zeros_like(bins_ref)
+        esum_ref[...] = jnp.zeros_like(esum_ref)
+
+    bins_ref[...] += bins
+    esum_ref[...] += esum
+
+
+def pallas_cluster_stats(flat: jnp.ndarray, ids: jnp.ndarray, k: int,
+                         m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(bins (k,), embed_sum (k, dim)) of l2norm(flat) grouped by ids."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, dim = flat.shape
+    m = min(m, 256) if n % 256 == 0 else m  # cap onehot block at 256 rows
+    sx = pl.BlockSpec((m, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    si = pl.BlockSpec((m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sb = pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    se = pl.BlockSpec((k, dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bins, esum = pl.pallas_call(
+        functools.partial(_stats_kernel, k=k), grid=(n // m,),
+        in_specs=[sx, si],
+        out_specs=[sb, se],
+        out_shape=[jax.ShapeDtypeStruct((1, k), jnp.float32),
+                   jax.ShapeDtypeStruct((k, dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(flat, ids[:, None].astype(jnp.int32))
+    return bins[0], esum

@@ -103,15 +103,33 @@ class CosineVQ(nn.Module):
 
         shape = x.shape
         flat = x.reshape(-1, self.dim).astype(jnp.float32)
-        flat_n = l2norm(flat)
         embed_n = l2norm(embed)
 
-        ind = _chunked_argmax_sim(flat_n, embed_n)
+        from .pallas.vq import _plan as _vq_plan
+        from .pallas.vq import pallas_assign, pallas_cluster_stats
+
+        m = _vq_plan(flat.shape[0], self.dim, self.codebook_size)
+        if m is not None:
+            # fused l2norm + MXU similarity + lane argmax; the normalized
+            # token tensor never hits HBM (ops/pallas/vq.py).  stop_gradient:
+            # the assignment is non-differentiable (argmax) and pallas_call
+            # has no JVP rule — without it, linearizing the train step fails.
+            # kernels take the raw (bf16) activations and cast/normalize
+            # per-block in VMEM — the f32 `flat` copy is only for the XLA
+            # loss terms below
+            flat_raw = jax.lax.stop_gradient(x.reshape(-1, self.dim))
+            ind = pallas_assign(flat_raw, embed_n, m)
+        else:
+            ind = _chunked_argmax_sim(l2norm(flat), embed_n)
         quantize = jnp.take(embed, ind, axis=0)
 
         if train and not self.is_initializing():
-            bins, embed_sum = _chunked_cluster_stats(flat_n, ind,
-                                                     self.codebook_size)
+            if m is not None:
+                bins, embed_sum = pallas_cluster_stats(
+                    flat_raw, ind, self.codebook_size, m)
+            else:
+                bins, embed_sum = _chunked_cluster_stats(
+                    l2norm(flat), ind, self.codebook_size)
             if self.axis_name is not None:
                 bins = jax.lax.psum(bins, self.axis_name)
                 embed_sum = jax.lax.psum(embed_sum, self.axis_name)

@@ -136,6 +136,97 @@ def test_fused_attention_kernel_on_tpu_if_available():
 
 
 # ---------------------------------------------------------------------------
+def _embed_args(shape=(2, 8, 12, 12), pt=4, p=6, dim=32, seed=5):
+    rng = np.random.RandomState(seed)
+    b, F, H, W = shape
+    pd = pt * p * p
+    video = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    s1 = jnp.asarray(rng.rand(pd).astype(np.float32) + 0.5)
+    b1 = jnp.asarray(rng.randn(pd).astype(np.float32) * 0.01)
+    wi = jnp.asarray((rng.randn(pd, dim) / np.sqrt(pd)).astype(np.float32))
+    pb = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.01)
+    s2 = jnp.asarray(rng.rand(dim).astype(np.float32) + 0.5)
+    b2 = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.01)
+    return video, s1, b1, wi, pb, s2, b2
+
+
+def test_fused_patch_embed_matches_module_math():
+    """fused_patch_embed == rearrange -> LN -> @wi + b -> LN composition."""
+    from ct_clip_tpu.ops.norms import layer_norm
+    from ct_clip_tpu.ops.pallas.patchify import (_gather_rearrange,
+                                                 fused_patch_embed)
+
+    args = _embed_args()
+    video, s1, b1, wi, pb, s2, b2 = args
+    got = fused_patch_embed(video, s1, b1, wi, pb, s2, b2, 4, 6, 1e-5,
+                            jnp.float32)
+    patches = _gather_rearrange(video, 4, 6)
+    ref = layer_norm(layer_norm(patches, s1, b1) @ wi + pb, s2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    g1 = jax.grad(lambda *a: jnp.sum(fused_patch_embed(
+        *a, 4, 6, 1e-5, jnp.float32) ** 2), argnums=(0, 3))(*args)
+    g2 = jax.grad(lambda v, w: jnp.sum(layer_norm(
+        layer_norm(_gather_rearrange(v, 4, 6), s1, b1) @ w + pb,
+        s2, b2) ** 2))(video, wi)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2), atol=1e-4)
+
+
+def test_fused_patch_embed_kernels_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.patchify import (_pallas_patch_embed,
+                                                 _pallas_patch_embed_bwd,
+                                                 _xla_patch_embed)
+
+    args = _embed_args(shape=(1, 20, 480, 480), pt=10, p=20, dim=128, seed=6)
+    video, s1, b1, wi, pb, s2, b2 = args
+    got = _pallas_patch_embed(video, s1, b1, wi, pb, s2, b2, 10, 20, 1e-5,
+                              jnp.bfloat16).astype(jnp.float32)
+    ref = _xla_patch_embed(video, s1, b1, wi, pb, s2, b2, 10, 20, 1e-5,
+                           jnp.bfloat16).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2)
+
+    do = jnp.asarray(np.random.RandomState(7).randn(1, 2 * 24 * 24, 128)
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    got_g = _pallas_patch_embed_bwd(video, s1, b1, wi, pb, s2, b2, do,
+                                    10, 20, 1e-5, jnp.bfloat16)
+    _, vjp = jax.vjp(lambda *a: _xla_patch_embed(*a, 10, 20, 1e-5,
+                                                 jnp.bfloat16),
+                     video, s1, b1, wi, pb, s2, b2)
+    ref_g = vjp(do)[1:]  # skip dvideo
+    for a, b_ in zip(got_g, ref_g):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        denom = max(np.abs(b32).max(), 1.0)
+        assert np.max(np.abs(a32 - b32)) / denom < 2e-2
+
+
+def test_vq_kernels_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.norms import l2norm
+    from ct_clip_tpu.ops.pallas.vq import (_plan, pallas_assign,
+                                           pallas_cluster_stats)
+    from ct_clip_tpu.ops.vq import (_chunked_argmax_sim,
+                                    _chunked_cluster_stats)
+
+    rng = np.random.RandomState(23)
+    n, dim, k = 2048, 512, 1024
+    flat = jnp.asarray(rng.randn(n, dim).astype(np.float32))
+    embed_n = l2norm(jnp.asarray(rng.randn(k, dim).astype(np.float32)))
+    m = _plan(n, dim, k)
+    assert m is not None
+    ids = pallas_assign(flat, embed_n, m)
+    ref = _chunked_argmax_sim(l2norm(flat), embed_n)
+    # bf16 similarity may flip exact ties; on random gaussians expect <<1%
+    assert np.mean(np.asarray(ids) != np.asarray(ref)) < 0.01
+    bins, esum = pallas_cluster_stats(flat, ids, k, m)
+    rbins, resum = _chunked_cluster_stats(l2norm(flat), ids, k)
+    np.testing.assert_allclose(np.asarray(bins), np.asarray(rbins), atol=0.5)
+    np.testing.assert_allclose(np.asarray(esum), np.asarray(resum),
+                               atol=5e-2)
+
+
 # fused GEGLU feed-forward kernel (ops/pallas/ffn.py)
 # ---------------------------------------------------------------------------
 
@@ -366,3 +457,59 @@ def test_small_qknorm_kernel_on_tpu_if_available():
                             dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=5e-2)
+
+
+# -------------------------------------------------------- spatial attention
+
+def test_spatial_qknorm_xla_matches_module_path():
+    """The fused-sublayer XLA reference must equal QKNormAttention's generic
+    (head-relayout) path for the CPB-bias spatial configuration."""
+    from ct_clip_tpu.ops.attention import QKNormAttention
+    from ct_clip_tpu.ops.pallas.spatial_attention import _xla_spatial_qknorm
+
+    b, n, dim, heads, dh = 3, 144, 64, 4, 16
+    x, gamma, wq, wkv, qs, ks, wout = _small_attn_inputs(b, n, dim, heads, dh)
+    rng = np.random.RandomState(11)
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    mod = QKNormAttention(dim, dim_head=dh, heads=heads, dtype=jnp.float32,
+                          num_null_kv=0)
+    variables = {"params": {"norm": {"gamma": gamma},
+                            "to_q": {"kernel": wq}, "to_kv": {"kernel": wkv},
+                            "q_scale": qs, "k_scale": ks,
+                            "to_out": {"kernel": wout}}}
+    want = mod.apply(variables, x, None, None, bias)
+    got = _xla_spatial_qknorm(x, gamma, wq, wkv, qs, ks, wout, bias,
+                              heads=heads, dim_head=dh, scale=8.0,
+                              dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_spatial_qknorm_kernels_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.spatial_attention import (
+        _pallas_spatial, _pallas_spatial_bwd, _plan, _xla_spatial_qknorm)
+
+    b, n, dim, heads, dh = 12, 256, 512, 8, 32
+    x, gamma, wq, wkv, qs, ks, wout = _small_attn_inputs(
+        b, n, dim, heads, dh, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(12)
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    assert _plan(b, n, dim, heads, dh)
+    kw = dict(heads=heads, dim_head=dh, scale=8.0, dtype=jnp.bfloat16)
+    got = _pallas_spatial(x, gamma, wq, wkv, qs, ks, wout, bias, **kw)
+    ref = _xla_spatial_qknorm(x, gamma, wq, wkv, qs, ks, wout, bias, **kw)
+    g32, r32 = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    assert np.abs(g32 - r32).max() / max(np.abs(r32).max(), 1.0) < 2e-2
+
+    do = jnp.asarray(rng.randn(b, n, dim).astype(np.float32) * 0.02,
+                     jnp.bfloat16)
+    got_g = _pallas_spatial_bwd(x, gamma, wq, wkv, qs, ks, wout, bias, do,
+                                **kw)
+    _, vjp = jax.vjp(lambda *a: _xla_spatial_qknorm(*a, **kw),
+                     x, gamma, wq, wkv, qs, ks, wout, bias)
+    ref_g = vjp(do)
+    for a, b_ in zip(got_g, ref_g):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        denom = max(np.abs(b32).max(), 1e-6)
+        assert np.abs(a32 - b32).max() / denom < 5e-2
