@@ -89,11 +89,24 @@ class BertSelfAttention(nn.Module):
             out = fused_attention(q * (dh ** -0.5), k, v,
                                   key_bias=attn_bias[:, 0, 0, :])
             return out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
+        rng = self.make_rng("dropout")
+        from ..ops.pallas.attention import _plan as _attn_plan
+        from ..ops.pallas.attention import fused_attention_kbias_dropout
+
+        if _attn_plan(q.shape, q.dtype.itemsize, None) is not None:
+            # attention-prob dropout drawn from the TPU PRNG inside the
+            # kernel — the (b, h, n, n) scores and mask never hit HBM
+            # (~38 ms/step across the 12 layers on the XLA path)
+            seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            out = fused_attention_kbias_dropout(
+                q * (dh ** -0.5), k, v, attn_bias[:, 0, 0, :], seed,
+                self.dropout)
+            return out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
         sim = jnp.einsum("bhid,bhjd->bhij", q, k,
                          preferred_element_type=jnp.float32) / jnp.sqrt(dh).astype(jnp.float32)
         sim = sim + attn_bias  # (b, 1, 1, n) additive mask
         attn = jax.nn.softmax(sim, axis=-1)
-        rng = self.make_rng("dropout")
         keep = jax.random.bernoulli(rng, 1.0 - self.dropout, attn.shape)
         attn = attn * keep / (1.0 - self.dropout)
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)

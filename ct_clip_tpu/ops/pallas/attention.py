@@ -363,3 +363,190 @@ def _fused_bwd(res, g):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ------------------------------------------------- key-bias + dropout path
+# The BERT tower trains with attention-probability dropout (HF BertModel
+# parity, attention_probs_dropout_prob=0.1).  The XLA path materializes the
+# (b, h, n, n) f32 scores AND a same-shaped dropout mask per layer — profiled
+# at ~38 ms/step across the 12 layers.  These kernels keep everything in
+# VMEM and draw the mask from the TPU PRNG, seeded deterministically from
+# (seed, head, batch-row) so the backward regenerates the exact same mask
+# without it ever existing in HBM.
+
+def _drop_seed(seed_ref, hi, row):
+    from jax.experimental.pallas import tpu as pltpu
+
+    # prng_seed accepts at most 2 scalars — pack (head, row) into one
+    pltpu.prng_seed(seed_ref[0], hi * 65536 + row)
+
+
+def _drop_mask(shape, rate):
+    from jax.experimental.pallas import tpu as pltpu
+
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return (bits >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
+def _kernel_kbias_drop(seed_ref, q_ref, kT_ref, v_ref, kb_ref, o_ref, *,
+                       g, rate):
+    from jax.experimental import pallas as pl
+
+    hi, bi = pl.program_id(0), pl.program_id(1)
+    for j in range(g):
+        sim = jnp.dot(q_ref[j, 0], kT_ref[j, 0],
+                      preferred_element_type=jnp.float32)
+        sim = sim + kb_ref[j]
+        attn = jax.nn.softmax(sim, axis=-1)
+        _drop_seed(seed_ref, hi, bi * g + j)
+        attn = attn * _drop_mask(sim.shape, rate)
+        o_ref[j, 0] = jnp.dot(attn.astype(v_ref.dtype), v_ref[j, 0],
+                              preferred_element_type=jnp.float32
+                              ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_kbias_drop(seed_ref, q_ref, kT_ref, vT_ref, kb_ref, do_ref,
+                           dq_ref, dk_ref, dv_ref, dkb_ref, *, g, rate):
+    from jax.experimental import pallas as pl
+
+    hi, bi = pl.program_id(1), pl.program_id(0)
+    cdt = q_ref.dtype
+    for j in range(g):
+        q_ = q_ref[j, 0]
+        kT = kT_ref[j, 0]
+        vT = vT_ref[j, 0]
+        do_ = do_ref[j, 0]
+        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + kb_ref[j]
+        attn = jax.nn.softmax(sim, axis=-1)
+        _drop_seed(seed_ref, hi, bi * g + j)
+        mask = _drop_mask(sim.shape, rate)
+        attn_d = attn * mask
+        dS_d = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
+        dattn = dS_d * mask
+        row = jnp.sum(dattn * attn, axis=-1, keepdims=True)
+        dP = attn * (dattn - row)
+        dPb = dP.astype(cdt)
+        dq_ref[j, 0] = jax.lax.dot_general(
+            dPb, kT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[j, 0] = jax.lax.dot_general(
+            dPb, q_, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dv_ref[j, 0] = jax.lax.dot_general(
+            attn_d.astype(cdt), do_, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dkb_j = jnp.sum(dP, axis=0, keepdims=True)
+
+        @pl.when(hi == 0)
+        def _():
+            dkb_ref[j] = jnp.zeros_like(dkb_ref[j])
+
+        dkb_ref[j] += dkb_j
+
+
+def _pallas_attention_kbias_drop_impl(q, k, v, key_bias, seed, g, rate):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    kT = jnp.swapaxes(k, -1, -2)
+    # index maps take the prefetched-scalar ref as a trailing arg
+    sq = pl.BlockSpec((g, 1, n, d), lambda hi, bi, *_: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    sk = pl.BlockSpec((g, 1, d, n), lambda hi, bi, *_: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    skb = pl.BlockSpec((g, 1, n), lambda hi, bi, *_: (bi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(h, b // g),
+        in_specs=[sq, sk, sq, skb], out_specs=sq)
+    return pl.pallas_call(
+        functools.partial(_kernel_kbias_drop, g=g, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BWD),
+    )(seed, q, kT, v, key_bias.astype(jnp.float32)[:, None, :])
+
+
+def _pallas_attention_kbias_drop_bwd(q, k, v, key_bias, seed, do, g, rate):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    kT = jnp.swapaxes(k, -1, -2)
+    vT = jnp.swapaxes(v, -1, -2)
+    sq = pl.BlockSpec((g, 1, n, d), lambda bi, hi, *_: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((g, 1, d, n), lambda bi, hi, *_: (bi, hi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    skb = pl.BlockSpec((g, 1, n), lambda bi, hi, *_: (bi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(b // g, h),
+        in_specs=[sq, st, st, skb, sq],
+        out_specs=[sq, sq, sq, skb])
+    dq, dk, dv, dkb = pl.pallas_call(
+        functools.partial(_bwd_kernel_kbias_drop, g=g, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, n, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+                   jax.ShapeDtypeStruct((b, 1, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BWD),
+    )(seed, q, kT, vT, key_bias.astype(jnp.float32)[:, None, :], do)
+    return dq, dk, dv, dkb[:, 0, :].astype(key_bias.dtype)
+
+
+def _xla_attention_dropout(q, k, v, key_bias, rng, rate):
+    """XLA fallback with jax.random dropout (different mask stream than the
+    kernel — dropout only needs the right distribution, not bit parity)."""
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                     preferred_element_type=jnp.float32)
+    if key_bias is not None:
+        sim = sim + key_bias.astype(jnp.float32)[:, None, None, :]
+    attn = jax.nn.softmax(sim, axis=-1)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, attn.shape)
+    attn = jnp.where(keep, attn, 0.0) / (1.0 - rate)
+    return jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention_kbias_dropout(q, k, v, key_bias, seed, rate: float):
+    """softmax(q k^T + key_bias) with attention-prob dropout drawn from the
+    TPU PRNG, seeded by (seed, head, batch-row) — identical mask in forward
+    and backward, never materialized in HBM.
+
+    q, k, v: (b, h, n, d) (scaling applied to q); key_bias: (b, n) additive;
+    seed: (1,) int32; rate: static drop probability in (0, 1)."""
+    b, h, n, d = q.shape
+    g = _plan(q.shape, q.dtype.itemsize, None)
+    if g is not None and key_bias.shape == (b, n):
+        return _pallas_attention_kbias_drop_impl(q, k, v, key_bias, seed,
+                                                 g, rate)
+    rng = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
+    return _xla_attention_dropout(q, k, v, key_bias, rng, rate)
+
+
+def _fused_drop_fwd(q, k, v, key_bias, seed, rate):
+    return fused_attention_kbias_dropout(q, k, v, key_bias, seed, rate), \
+        (q, k, v, key_bias, seed)
+
+
+def _fused_drop_bwd(rate, res, g_out):
+    q, k, v, key_bias, seed = res
+    b, h, n, d = q.shape
+    g = _plan(q.shape, q.dtype.itemsize, None)
+    if g is not None and key_bias.shape == (b, n):
+        dq, dk, dv, dkb = _pallas_attention_kbias_drop_bwd(
+            q, k, v, key_bias, seed, g_out, g, rate)
+        return dq, dk, dv, dkb, None
+    rng = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
+    _, vjp = jax.vjp(lambda q_, k_, v_, kb_: _xla_attention_dropout(
+        q_, k_, v_, kb_, rng, rate), q, k, v, key_bias)
+    return (*vjp(g_out), None)
+
+
+fused_attention_kbias_dropout.defvjp(_fused_drop_fwd, _fused_drop_bwd)

@@ -513,3 +513,65 @@ def test_spatial_qknorm_kernels_on_tpu_if_available():
         a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
         denom = max(np.abs(b32).max(), 1e-6)
         assert np.abs(a32 - b32).max() / denom < 5e-2
+
+
+# ------------------------------------------------- dropout attention kernel
+
+def test_attention_dropout_xla_fallback_statistics():
+    from ct_clip_tpu.ops.pallas.attention import (
+        _xla_attention, fused_attention_kbias_dropout)
+
+    b, h, n, d = 2, 2, 32, 16
+    rng = np.random.RandomState(31)
+    mk = lambda: jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    kb = jnp.zeros((b, n), jnp.float32)
+    outs = [fused_attention_kbias_dropout(q, k, v, kb,
+                                          jnp.asarray([s], jnp.int32), 0.5)
+            for s in range(64)]
+    mean = np.mean([np.asarray(o) for o in outs], axis=0)
+    ref = np.asarray(_xla_attention(q, k, v, None, kb))
+    # inverted dropout is unbiased: the seed-average approaches the
+    # no-dropout output (64 seeds -> loose bound on the mean deviation)
+    assert np.mean(np.abs(mean - ref)) < 0.12
+    g = jax.grad(lambda v_: jnp.sum(fused_attention_kbias_dropout(
+        q, k, v_, kb, jnp.asarray([3], jnp.int32), 0.5) ** 2))(v)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_attention_dropout_kernel_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.attention import fused_attention_kbias_dropout
+
+    b, h, n, d = 8, 12, 512, 64
+    rng = np.random.RandomState(33)
+    mk = lambda s=1.0: jnp.asarray((rng.randn(b, h, n, d) * s)
+                                   .astype(np.float32)).astype(jnp.bfloat16)
+    q, k, v = mk(0.3), mk(0.3), mk()
+    kb = jnp.asarray(np.where(rng.rand(b, n) < 0.2, -1e9, 0.0)
+                     .astype(np.float32))
+    seed = jnp.asarray([7], jnp.int32)
+    f = jax.jit(lambda q_, k_, v_: fused_attention_kbias_dropout(
+        q_, k_, v_, kb, seed, 0.1))
+    o1, o2 = f(q, k, v), f(q, k, v)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    # rate=0 must equal the no-dropout kernel path exactly
+    from ct_clip_tpu.ops.pallas.attention import fused_attention
+    o_nodrop = fused_attention_kbias_dropout(q, k, v, kb, seed, 1e-9)
+    ref = fused_attention(q, k, v, key_bias=kb)
+    np.testing.assert_allclose(np.asarray(o_nodrop, np.float32),
+                               np.asarray(ref, np.float32), atol=0.15)
+    # fwd/bwd mask identity: out is linear in v, so the directional
+    # derivative from two forwards (same seed) must match the VJP
+    dv_dir = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32) * 0.1,
+                         jnp.bfloat16)
+    do = jnp.ones((b, h, n, d), jnp.bfloat16)
+    _, vjp = jax.vjp(lambda v_: fused_attention_kbias_dropout(
+        q, k, v_, kb, seed, 0.1), v)
+    dv, = vjp(do)
+    jvp_num = jnp.sum((f(q, k, v + dv_dir).astype(jnp.float32)
+                       - f(q, k, v).astype(jnp.float32)))
+    jvp_vjp = jnp.sum(dv.astype(jnp.float32) * dv_dir.astype(jnp.float32))
+    a, b_ = float(jvp_num), float(jvp_vjp)
+    assert abs(a - b_) / max(abs(b_), 1.0) < 5e-2
