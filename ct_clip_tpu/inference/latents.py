@@ -17,7 +17,8 @@ from ..ops.resample import preprocess_volume
 
 def export_latents(model: CTCLIP, variables: Dict, tokenizer, dataset,
                    results_folder: str, num_workers: int = 8,
-                   max_text_len: int = 512) -> Dict[str, np.ndarray]:
+                   max_text_len: int = 512,
+                   target_shape=None) -> Dict[str, np.ndarray]:
     from ..data.loader import VolumeLoader
 
     out_dir = Path(results_folder)
@@ -36,7 +37,9 @@ def export_latents(model: CTCLIP, variables: Dict, tokenizer, dataset,
             jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
             jnp.float32(sample.slope), jnp.float32(sample.intercept),
             true_sizes=jnp.asarray(sample.true_sizes),
-            clip_before_resample=dataset.clip_before_resample)
+            clip_before_resample=dataset.clip_before_resample,
+            **({} if target_shape is None
+               else {"target_shape": tuple(target_shape)}))
         enc_grid = encode_image(variables, vol[None, ..., None])
         enc = tokenizer([sample.meta.text], padding="max_length",
                         truncation=True, max_length=max_text_len)

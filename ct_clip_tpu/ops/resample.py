@@ -64,7 +64,7 @@ def _lerp_axis(vol, axis: int, idx0, idx1, lam):
     return g0 * (1.0 - lam) + g1 * lam
 
 
-@partial(jax.jit, static_argnames=("clip_before_resample",))
+@partial(jax.jit, static_argnames=("clip_before_resample", "target_shape"))
 def preprocess_volume(
     vol_zxy: jnp.ndarray,
     spacing_zxy: jnp.ndarray,
@@ -77,6 +77,7 @@ def preprocess_volume(
     hu_max: float = 1000.0,
     norm_scale: float = 1000.0,
     pad_value: float = -1.0,
+    target_shape: Tuple[int, int, int] = TARGET_SHAPE_DHW,
 ) -> jnp.ndarray:
     """vol_zxy: (Z, X, Y) raw voxels (nifti fdata transposed (2,0,1), as
     scripts/data.py:115), possibly zero-padded beyond `true_sizes` for shape
@@ -89,7 +90,7 @@ def preprocess_volume(
 
     if true_sizes is None:
         true_sizes = jnp.asarray(vol.shape, jnp.int32)
-    out_sizes = TARGET_SHAPE_DHW
+    out_sizes = target_shape
     target = jnp.asarray(target_spacing, jnp.float32)
     # reference: new_shape[i] = int(orig[i] * current[i] / target[i]) (data.py:26-31)
     res_sizes = (true_sizes.astype(jnp.float32)

@@ -211,3 +211,28 @@ def test_maskgit_transformer_shapes_and_peg_residual():
     out = m.apply(params, x, video_shape=(b, t, h, w))
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cpb_unique_offset_gather_matches_full_grid():
+    """CPB evaluated on unique offsets + gather == MLP over the full pair
+    grid (the reference's formulation, attention.py:262-276)."""
+    from ct_clip_tpu.ops.attention import (ContinuousPositionBias,
+                                           relative_position_grid)
+
+    mod = ContinuousPositionBias(dim=16, heads=3, num_dims=2)
+    variables = mod.init(jax.random.PRNGKey(0), 5, 7)
+    got = mod.apply(variables, 5, 7)
+
+    rel = relative_position_grid((5, 7), True)
+    p = variables["params"]
+
+    def dense(x, w, b):
+        return x @ w + b
+
+    x = dense(rel, p["net_0"]["kernel"], p["net_0"]["bias"])
+    x = jax.nn.leaky_relu(x, 0.1)
+    x = dense(x, p["net_1"]["kernel"], p["net_1"]["bias"])
+    x = jax.nn.leaky_relu(x, 0.1)
+    x = dense(x, p["net_out"]["kernel"], p["net_out"]["bias"])
+    ref = jnp.transpose(x, (2, 0, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

@@ -167,18 +167,16 @@ def test_export_latents(tmp_path):
     ds = CTReportDatasetInfer(data, reports, meta, labels)
 
     cfg = tiny_cfg(gather_negatives=False)
-    # shrink to the preprocess output shape: patch the model to accept the
-    # full (240,480,480) volume is too slow on CPU; use a wrapper dataset
-    # that the preprocess produces? export_latents runs preprocess_volume
-    # which always emits (240,480,480); so use the production-shaped tiny dims
-    ct = cfg.ctvit.replace(image_size=480, patch_size=120, num_frames=240,
-                           temporal_patch_size=60, dim=8, codebook_size=16,
+    # small preprocess target grid (export_latents target_shape override)
+    # keeps this CPU-fast; the production default is (240, 480, 480)
+    ct = cfg.ctvit.replace(image_size=32, patch_size=8, num_frames=16,
+                           temporal_patch_size=4, dim=8, codebook_size=16,
                            dim_head=4, heads=2)
     hw = ct.image_size // ct.patch_size
     cfg = cfg.replace(ctvit=ct, dim_image=hw * hw * ct.dim, dim_latent=8)
     model = CTCLIP(cfg)
     ids = jnp.zeros((1, 12), jnp.int32)
-    video = jnp.zeros((1, 240, 480, 480, 1))
+    video = jnp.zeros((1, 16, 32, 32, 1))
     variables = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids),
                            video, return_loss=False, return_latents=True)
 
@@ -189,7 +187,8 @@ def test_export_latents(tmp_path):
     tok = WordPieceTokenizer(str(vp))
 
     out = export_latents(model, variables, tok, ds, str(tmp_path / "lat"),
-                         num_workers=1, max_text_len=12)
+                         num_workers=1, max_text_len=12,
+                         target_shape=(16, 32, 32))
     assert set(out["text"]) == {"vol_0", "vol_1"}
     t = ct.num_frames // ct.temporal_patch_size
     for acc, arr in out["image"].items():
