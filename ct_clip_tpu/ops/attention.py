@@ -359,10 +359,24 @@ class PEG(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        frame_pad = (2, 0) if self.causal else (1, 1)
-        return nn.Conv(self.dim, kernel_size=(3, 3, 3), feature_group_count=self.dim,
-                       padding=(frame_pad, (1, 1), (1, 1)), use_bias=True,
-                       dtype=self.dtype, name="dsconv")(x)
+        # raw params with nn.Conv's exact tree ({dsconv: {kernel, bias}}) and
+        # initializers, so checkpoints are unchanged; the op itself is a
+        # Pallas stencil in the token-native (..., c) layout on TPU
+        # (ops/pallas/peg.py) with a lax.conv fallback elsewhere
+        class _ConvParams(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self):
+                k = self.param("kernel", nn.initializers.lecun_normal(),
+                               (3, 3, 3, 1, self.dim))
+                b = self.param("bias", nn.initializers.zeros, (self.dim,))
+                return k, b
+
+        kernel, bias = _ConvParams(self.dim, name="dsconv")()
+        from .pallas.peg import peg_conv
+
+        return peg_conv(x.astype(self.dtype), kernel, bias, self.causal)
 
 
 class MaskgitTransformer(nn.Module):

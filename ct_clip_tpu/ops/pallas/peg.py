@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: 3x3x3 depthwise conv (the PEG positional encoding).
+
+The CTViT runs a PEG before every transformer layer: a depthwise 3^3 conv
+over the (t, h, w) = 24^3 token grid with causal frame padding (reference
+transformer_maskgit/attention.py:56-84).  XLA lowers the depthwise conv with
+a channel-major layout, spending more time on the (b, 24, 24, 24, 512)
+layout copies than on the conv itself (profiled: ~0.97 ms/call conv fusions
++ ~0.66 ms/call copies + ~1 ms/call weight-grad reduce fusions across the 8
+instances = ~20 ms/step).
+
+Here the conv is 27 shifted multiply-accumulates over a zero-padded VMEM
+block in the token-native (..., w, c) layout — channels on lanes, no layout
+change ever.  Blocks are channel slices (c_b = 128 lanes) of one batch item;
+the backward computes dx (correlation with the flipped kernel), accumulates
+dw (27, c) and dbias across sequential grid steps, and recomputes nothing
+(the stencil needs only x and dout).  Falls back to
+`lax.conv_general_dilated` (identical numerics, what flax nn.Conv emits)
+off-TPU or for non-conforming shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _pads(causal: bool) -> Tuple[Tuple[int, int], ...]:
+    return ((2, 0) if causal else (1, 1), (1, 1), (1, 1))
+
+
+def xla_peg_conv(x, kernel, bias, causal: bool):
+    """lax fallback == flax nn.Conv(3x3x3, feature_group_count=dim)."""
+    dim = x.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1, 1), _pads(causal),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=dim)
+    return out + bias.astype(out.dtype)
+
+
+def _plan(shape, dtype) -> Optional[int]:
+    b, t, h, w, c = shape
+    if c % 128 or dtype != jnp.bfloat16:
+        return None
+    if w % 8:
+        return None
+    cb = 128
+    # padded block + f32 accumulator + shifted temp
+    need = (t + 2) * (h + 2) * (w + 2) * cb * 2 \
+        + 2 * t * h * w * cb * 4 + 4 * t * h * w * cb * 2
+    if need > _VMEM_LIMIT - 16 * 1024 * 1024:
+        return None
+    try:
+        return cb if jax.devices()[0].platform == "tpu" else None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _taps(causal):
+    (pt0, _), (ph0, _), (pw0, _) = _pads(causal)
+    return pt0, ph0, pw0
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, causal):
+    t, h, w, cb = x_ref.shape[1:]
+    pt0, ph0, pw0 = _taps(causal)
+    xp = jnp.pad(x_ref[0].astype(jnp.float32),
+                 ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
+    acc = jnp.zeros((t, h, w, cb), jnp.float32)
+    for kz in range(3):
+        for ky in range(3):
+            for kx in range(3):
+                wv = w_ref[kz, ky, kx, 0]  # (cb,) f32
+                acc = acc + xp[kz:kz + t, ky:ky + h, kx:kx + w, :] * wv
+    o_ref[0] = (acc + b_ref[0]).astype(o_ref.dtype)
+
+
+def _bwd_kernel(do_ref, x_ref, w_ref, dx_ref, dw_ref, db_ref, *, causal):
+    from jax.experimental import pallas as pl
+
+    t, h, w, cb = x_ref.shape[1:]
+    pt0, ph0, pw0 = _taps(causal)
+    do = do_ref[0].astype(jnp.float32)
+    # dx: correlation with the flipped kernel == conv of dout with pads
+    # complemented (fwd pad (a, b) -> bwd pad (2-a, a... i.e. (2-pt0, pt0))
+    dop = jnp.pad(do, ((2 - pt0, pt0), (2 - ph0, ph0), (2 - pw0, pw0),
+                       (0, 0)))
+    dx = jnp.zeros((t, h, w, cb), jnp.float32)
+    for kz in range(3):
+        for ky in range(3):
+            for kx in range(3):
+                wv = w_ref[2 - kz, 2 - ky, 2 - kx, 0]
+                dx = dx + dop[kz:kz + t, ky:ky + h, kx:kx + w, :] * wv
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    xp = jnp.pad(x_ref[0].astype(jnp.float32),
+                 ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
+    dw_rows = []
+    for kz in range(3):
+        for ky in range(3):
+            for kx in range(3):
+                prod = xp[kz:kz + t, ky:ky + h, kx:kx + w, :] * do
+                dw_rows.append(jnp.sum(prod.reshape(-1, cb), axis=0))
+    dw = jnp.stack(dw_rows)                    # (27, cb)
+    db = jnp.sum(do.reshape(-1, cb), axis=0)[None, :]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dw_ref[...] += dw
+    db_ref[...] += db
+
+
+def _pallas_peg(x, kernel, bias, causal, cb):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, h, w, c = x.shape
+    sx = pl.BlockSpec((1, t, h, w, cb), lambda bi, ci: (bi, 0, 0, 0, ci),
+                      memory_space=pltpu.VMEM)
+    sw = pl.BlockSpec((3, 3, 3, 1, cb), lambda bi, ci: (0, 0, 0, 0, ci),
+                      memory_space=pltpu.VMEM)
+    sb = pl.BlockSpec((1, cb), lambda bi, ci: (0, ci),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, causal=causal),
+        grid=(b, c // cb),
+        in_specs=[sx, sw, sb],
+        out_specs=sx,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(x, kernel.astype(x.dtype).astype(jnp.float32),
+      bias.astype(jnp.float32)[None, :])
+
+
+def _pallas_peg_bwd(x, kernel, do, causal, cb):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, h, w, c = x.shape
+    # channel blocks OUTER, batch inner: the dw/db accumulator blocks are
+    # indexed by channel only, so their visits must be consecutive in the
+    # grid iteration for += to be well-defined
+    sx = pl.BlockSpec((1, t, h, w, cb), lambda ci, bi: (bi, 0, 0, 0, ci),
+                      memory_space=pltpu.VMEM)
+    sw = pl.BlockSpec((3, 3, 3, 1, cb), lambda ci, bi: (0, 0, 0, 0, ci),
+                      memory_space=pltpu.VMEM)
+    sdw = pl.BlockSpec((27, cb), lambda ci, bi: (0, ci),
+                       memory_space=pltpu.VMEM)
+    sdb = pl.BlockSpec((1, cb), lambda ci, bi: (0, ci),
+                       memory_space=pltpu.VMEM)
+    dx, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, causal=causal),
+        grid=(c // cb, b),
+        in_specs=[sx, sx, sw],
+        out_specs=[sx, sdw, sdb],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((27, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(do, x, kernel.astype(x.dtype).astype(jnp.float32))
+    return dx, dw.reshape(3, 3, 3, 1, c), db[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def peg_conv(x, kernel, bias, causal: bool = False):
+    """Depthwise 3x3x3 conv + bias over (b, t, h, w, c), causal frame pad.
+
+    kernel: (3, 3, 3, 1, c) (flax Conv DHWIO layout for
+    feature_group_count=c); bias: (c,)."""
+    cb = _plan(x.shape, x.dtype)
+    if cb is not None:
+        return _pallas_peg(x, kernel, bias, causal, cb)
+    return xla_peg_conv(x, kernel, bias, causal)
+
+
+def _peg_fwd(x, kernel, bias, causal):
+    return peg_conv(x, kernel, bias, causal), (x, kernel)
+
+
+def _peg_bwd(causal, res, g):
+    x, kernel = res
+    cb = _plan(x.shape, x.dtype)
+    if cb is not None:
+        dx, dw, db = _pallas_peg_bwd(x, kernel, g.astype(x.dtype), causal,
+                                     cb)
+        return dx, dw.astype(kernel.dtype), db
+    _, vjp = jax.vjp(lambda x_, k_, b_: xla_peg_conv(x_, k_, b_, causal),
+                     x, kernel, jnp.zeros((x.shape[-1],), jnp.float32))
+    dx, dw, _ = vjp(g)
+    db = jnp.sum(g.astype(jnp.float32), axis=tuple(range(g.ndim - 1)))
+    return dx, dw, db
+
+
+peg_conv.defvjp(_peg_fwd, _peg_bwd)

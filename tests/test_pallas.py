@@ -575,3 +575,65 @@ def test_attention_dropout_kernel_on_tpu_if_available():
     jvp_vjp = jnp.sum(dv.astype(jnp.float32) * dv_dir.astype(jnp.float32))
     a, b_ = float(jvp_num), float(jvp_vjp)
     assert abs(a - b_) / max(abs(b_), 1.0) < 5e-2
+
+
+# --------------------------------------------------------------- PEG stencil
+
+def test_peg_conv_matches_nn_conv():
+    """peg_conv XLA fallback == flax nn.Conv depthwise (both paddings)."""
+    import flax.linen as fnn
+    from ct_clip_tpu.ops.pallas.peg import peg_conv, xla_peg_conv
+
+    rng = np.random.RandomState(41)
+    x = jnp.asarray(rng.randn(2, 4, 6, 6, 8).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 1, 8).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+    for causal in (False, True):
+        frame_pad = (2, 0) if causal else (1, 1)
+        conv = fnn.Conv(8, kernel_size=(3, 3, 3), feature_group_count=8,
+                        padding=(frame_pad, (1, 1), (1, 1)), use_bias=True)
+        want = conv.apply({"params": {"kernel": kernel, "bias": bias}}, x)
+        got = peg_conv(x, kernel, bias, causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        g1 = jax.grad(lambda x_: jnp.sum(peg_conv(x_, kernel, bias,
+                                                  causal) ** 2))(x)
+        g2 = jax.grad(lambda x_: jnp.sum(conv.apply(
+            {"params": {"kernel": kernel, "bias": bias}}, x_) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+        gk = jax.grad(lambda k_: jnp.sum(peg_conv(x, k_, bias,
+                                                  causal) ** 2))(kernel)
+        gk2 = jax.grad(lambda k_: jnp.sum(conv.apply(
+            {"params": {"kernel": k_, "bias": bias}}, x) ** 2))(kernel)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gk2),
+                                   atol=1e-4)
+
+
+def test_peg_kernels_on_tpu_if_available():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.peg import (_pallas_peg, _pallas_peg_bwd,
+                                            _plan, xla_peg_conv)
+
+    rng = np.random.RandomState(43)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 128).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 1, 128).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    do = jnp.asarray(rng.randn(2, 8, 8, 8, 128).astype(np.float32) * 0.1) \
+        .astype(jnp.bfloat16)
+    for causal in (False, True):
+        cb = _plan(x.shape, x.dtype)
+        assert cb is not None
+        got = _pallas_peg(x, kernel, bias, causal, cb)
+        ref = xla_peg_conv(x, kernel.astype(jnp.bfloat16), bias, causal)
+        g32, r32 = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        assert np.abs(g32 - r32).max() / max(np.abs(r32).max(), 1.0) < 2e-2
+        dx, dw, db = _pallas_peg_bwd(x, kernel, do, causal, cb)
+        _, vjp = jax.vjp(lambda x_, k_, b_: xla_peg_conv(
+            x_, k_.astype(jnp.bfloat16), b_, causal), x, kernel, bias)
+        rdx, rdw, rdb = vjp(do)
+        for a, b_ in ((dx, rdx), (dw, rdw), (db, rdb)):
+            a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+            denom = max(np.abs(b32).max(), 1e-6)
+            assert np.abs(a32 - b32).max() / denom < 2e-2
