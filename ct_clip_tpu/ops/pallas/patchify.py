@@ -114,6 +114,8 @@ def _pallas_rearrange(video: jnp.ndarray, pt: int, p: int) -> jnp.ndarray:
     if hb is None:  # bf16 tiling infeasible for this geometry; f32 blocks
         kdtype = jnp.float32
         hb = _pick_hb(pt, p, h, w, 8)
+    if hb is None:  # no legal block at all (tiny h/w): gather path
+        return _gather_rearrange(video, pt, p)
     splits = h // hb
     video = video.astype(kdtype)
     kernel = functools.partial(_fwd_kernel, pt=pt, p=p, hb=hb, w=w)
@@ -145,6 +147,8 @@ def _pallas_unrearrange(patches: jnp.ndarray, pt: int, p: int,
     # Mosaic only supports for 32-bit types — stays f32 (fwd runs bf16)
     kdtype = jnp.float32
     hb = _pick_hb(pt, p, h, w, 8)
+    if hb is None:  # no legal block (tiny h/w): gather path
+        return _gather_unrearrange(patches, pt, p, F, H, W)
     splits = h // hb
     patches = patches.astype(kdtype)
     kernel = functools.partial(_inv_kernel, pt=pt, p=p, hb=hb, w=w)

@@ -75,7 +75,7 @@ def _xla_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, *,
 
 
 def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
-            mask_ref, ones_ref, c_ref, o_ref, *, g, n, heads, dim_head,
+            mask_ref, ones_ref, o_ref, *, g, n, heads, dim_head,
             scale, dtype):
     h, dh = heads, dim_head
     r = g * n
@@ -112,29 +112,28 @@ def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
     qn = (qf * qfac * qs_ref[...]).astype(dtype)   # qs pre-tiled, incl. *scale
     kn = (kf * kfac * ks_ref[...]).astype(dtype)
 
-    # Constant-shift softmax: QK-norm bounds every score by Cauchy-Schwarz
-    # (|qn_i . kn_j| <= ||qn_i|| ||kn_j|| <= scale*max|qs|*max|ks| = c, since
-    # the per-head l2norm makes ||q_hat|| = 1), so exp(sim - c) never
-    # overflows and the per-row max reduction is unnecessary.  The
-    # block-diagonal sequence mask is a resident BINARY factor (exp(s + m) =
-    # exp(s) * M for m in {0, -inf}) and the softmax denominator comes off
-    # the MXU as E @ ones — the only VPU traversals of the (r, r) scores are
-    # the exp itself and one multiply.  Renormalization by 1/denom happens
-    # on the small (r, dh) output instead of the (r, r) weights.
-    c = c_ref[0, 0]
+    # Masked row-max softmax.  The block-diagonal sequence mask is folded in
+    # as an additive -BIG before the row max, so (a) the shift is the max
+    # over *allowed* columns only — exp of an in-block entry can never
+    # underflow to an all-zero row no matter how large the learned QK-norm
+    # scales grow (round-1 advisory: the old constant Cauchy-Schwarz shift
+    # silently zeroed rows once max|qs|*max|ks| drifted above ~5), and (b)
+    # masked entries sit at -BIG - rowmax -> exp == 0 exactly, so no
+    # separate mask multiply is needed.  The softmax denominator comes off
+    # the MXU as E @ ones, and the 1/denom renormalization happens on the
+    # small (r, dh) output instead of the (r, r) weights.
+    negmask = (mask_ref[...] - 1.0) * 3.0e38  # 0 in-block, -BIG out
     outs = []
     for hh in range(h):
         sl = slice(hh * dh, (hh + 1) * dh)
         sim = jax.lax.dot_general(qn[:, sl], kn[:, sl],
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        e = jnp.exp(sim - c) * mask_ref[...]
+        sim = sim + negmask
+        rowmax = jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim - rowmax)
         denom = jnp.dot(e, ones_ref[...],
                         preferred_element_type=jnp.float32)[:, :1]
-        # guard: if the bound is very loose (c >> row max, needs learned
-        # scales with max|qs|*max|ks| > ~5) rows can underflow; degrade to
-        # zeros rather than NaN
-        denom = jnp.maximum(denom, 1e-30)
         pv = jnp.dot(e.astype(dtype), v[:, sl],
                      preferred_element_type=jnp.float32)
         outs.append((pv / denom).astype(dtype))
@@ -188,14 +187,11 @@ def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
     r = g * n
     seq = jnp.arange(r, dtype=jnp.int32) // n
     mask = (seq[:, None] == seq[None, :]).astype(jnp.float32)
-    qsf = jnp.abs(q_scale.astype(jnp.float32))
-    ksf = jnp.abs(k_scale.astype(jnp.float32))
-    c_bound = (scale * jnp.max(qsf) * jnp.max(ksf)).reshape(1, 1)
     weights = (gamma.astype(jnp.float32)[None, :], wq.astype(cdt),
                wkv.astype(cdt),
                (jnp.tile(q_scale.astype(jnp.float32), heads) * scale)[None, :],
                jnp.tile(k_scale.astype(jnp.float32), heads)[None, :],
-               wout.astype(cdt), mask, jnp.ones((r, 8), jnp.float32), c_bound)
+               wout.astype(cdt), mask, jnp.ones((r, 8), jnp.float32))
     sx = pl.BlockSpec((g, n, dim), lambda bi: (bi, 0, 0),
                       memory_space=pltpu.VMEM)
     so = pl.BlockSpec((g, n, dim_out), lambda bi: (bi, 0, 0),
@@ -210,7 +206,7 @@ def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
 
 
 def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
-                wout_ref, mask_ref, ones_ref, c_ref,
+                wout_ref, mask_ref, ones_ref,
                 dx_ref, dwq_ref, dwkv_ref, dwout_ref, dgamma_ref, dqs_ref,
                 dks_ref, *, g, n, heads, dim_head, dtype):
     """Full sublayer backward: recompute the forward in VMEM (flash-style),
@@ -257,8 +253,7 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
     sk = ks_ref[...]
     qn = qhat * sq
     kn = khat * sk
-    c = c_ref[0, 0]
-    maskv = mask_ref[...]
+    negmask = (mask_ref[...] - 1.0) * 3.0e38  # 0 in-block, -BIG out
 
     # ---- backward ----
     dmerged = jax.lax.dot_general(do, wout_ref[...].astype(jnp.float32),
@@ -271,10 +266,11 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
         qn_h, kn_h, v_h = qn[:, sl], kn[:, sl], v[:, sl]
         sim = jax.lax.dot_general(qn_h, kn_h, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        e = jnp.exp(sim - c) * maskv
-        denom = jnp.maximum(
-            jnp.dot(e, ones_ref[...],
-                    preferred_element_type=jnp.float32)[:, :1], 1e-30)
+        sim = sim + negmask
+        rowmax = jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim - rowmax)
+        denom = jnp.dot(e, ones_ref[...],
+                        preferred_element_type=jnp.float32)[:, :1]
         p = e / denom
         merged_parts.append(jnp.dot(p, v_h,
                                     preferred_element_type=jnp.float32))
@@ -395,9 +391,6 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
     cdt = dtype
     seq = jnp.arange(r, dtype=jnp.int32) // n
     mask = (seq[:, None] == seq[None, :]).astype(jnp.float32)
-    qsf = jnp.abs(q_scale.astype(jnp.float32))
-    ksf = jnp.abs(k_scale.astype(jnp.float32))
-    c_bound = (scale * jnp.max(qsf) * jnp.max(ksf)).reshape(1, 1)
     qs_t = (jnp.tile(q_scale.astype(jnp.float32), heads) * scale)[None, :]
     ks_t = jnp.tile(k_scale.astype(jnp.float32), heads)[None, :]
 
@@ -407,7 +400,7 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
 
     weights = (gamma.astype(jnp.float32)[None, :], wq.astype(cdt),
                wkv.astype(cdt), qs_t, ks_t, wout.astype(cdt), mask,
-               jnp.ones((r, 8), jnp.float32), c_bound)
+               jnp.ones((r, 8), jnp.float32))
     sx = pl.BlockSpec((g, n, dim), lambda bi: (bi, 0, 0),
                       memory_space=pltpu.VMEM)
     outs = [

@@ -60,6 +60,14 @@ def test_pallas_kernel_on_tpu_if_available():
     from ct_clip_tpu.ops.pallas.patchify import _pallas_rearrange
 
     rng = np.random.RandomState(3)
+    # kernel-legal geometry (h=w=8, p=8: every tiling constraint satisfied)
+    video = jnp.asarray(rng.randn(1, 4, 64, 64).astype(np.float32))
+    out = _pallas_rearrange(video, 2, 8)
+    ref = _gather_rearrange(video, 2, 8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # tiling-infeasible geometry (h=w=2, p=20) must fall back to the gather
+    # path instead of crashing (regression: first on-chip suite run)
     video = jnp.asarray(rng.randn(1, 20, 40, 40).astype(np.float32))
     out = _pallas_rearrange(video, 10, 20)
     ref = _gather_rearrange(video, 10, 20)
@@ -457,6 +465,35 @@ def test_small_qknorm_kernel_on_tpu_if_available():
                             dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=5e-2)
+
+
+def test_small_qknorm_large_scales_on_tpu_if_available():
+    """Learned QK-norm scales well above init must not zero attention rows
+    (round-1 advisory: the constant Cauchy-Schwarz softmax shift underflowed
+    exp for rows whose true max logit sat far below the bound; the kernel now
+    subtracts a masked per-row max)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.small_attention import (
+        _pallas_small_qknorm, _plan, _xla_small_qknorm)
+
+    b, n, dim, heads, dh = 96, 24, 256, 8, 32
+    x, gamma, wq, wkv, qs, ks, wout = _small_attn_inputs(
+        b, n, dim, heads, dh, dtype=jnp.bfloat16)
+    qs, ks = qs * 4.0, ks * 4.0  # max|qs|*max|ks| >> 5: old shift underflowed
+    args = (x, gamma, wq, wkv, qs, ks, wout)
+    g = _plan(b, n, dim, heads, dh)
+    got = np.asarray(_pallas_small_qknorm(*args, g, heads=heads, dim_head=dh,
+                                          scale=8.0, dtype=jnp.bfloat16),
+                     np.float32)
+    ref = np.asarray(_xla_small_qknorm(*args, heads=heads, dim_head=dh,
+                                       scale=8.0, dtype=jnp.bfloat16),
+                     np.float32)
+    # with sharp (near-one-hot) attention the outputs are O(1); rows must not
+    # collapse to zero and must track the XLA softmax
+    assert np.abs(got).max() > 0.1
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.max(np.abs(got - ref)) / scale < 5e-2
 
 
 # -------------------------------------------------------- spatial attention
