@@ -86,6 +86,13 @@ class ZeroShotClassifier:
                 lambda vars_, ids, mask: model.apply(vars_, ids, mask,
                                                      method=CTCLIP.encode_text))
 
+    def update_variables(self, variables: Dict) -> None:
+        """Swap in fresh weights (e.g. between in-training mini-evals)
+        WITHOUT recompiling: the jitted closures take variables as an
+        argument, so only the cached prompt latents need recomputing."""
+        self.variables = variables
+        self._prompt_latents = None
+
     def prompt_latents(self) -> jnp.ndarray:
         """(num_pathologies, 2, dim_latent), computed once."""
         if self._prompt_latents is None:
@@ -141,7 +148,9 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
             _flush(clf, buf, preds, labels, names)
             buf = []
     if buf:
-        _flush(clf, buf, preds, labels, names)
+        # pad the final partial batch to the fixed jit shape (avoids a fresh
+        # compile for the tail), then keep only the real rows
+        _flush(clf, buf, preds, labels, names, pad_to=batch_size)
 
     predicted = np.concatenate(preds) if preds else np.zeros((0, len(pathologies)))
     real = np.stack(labels) if labels else np.zeros((0, len(pathologies)))
@@ -158,9 +167,13 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
     return out
 
 
-def _flush(clf, buf, preds, labels, names):
+def _flush(clf, buf, preds, labels, names, pad_to: Optional[int] = None):
     videos = jnp.stack([v for v, _ in buf])
-    preds.append(clf.score_batch(videos))
+    n = videos.shape[0]
+    if pad_to is not None and n < pad_to:
+        videos = jnp.concatenate(
+            [videos, jnp.zeros((pad_to - n,) + videos.shape[1:], videos.dtype)])
+    preds.append(clf.score_batch(videos)[:n])
     for _, meta in buf:
         labels.append(meta.labels if meta.labels is not None
                       else np.zeros(len(clf.pathologies), np.float32))

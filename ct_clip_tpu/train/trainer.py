@@ -45,13 +45,14 @@ class MetricLogger:
         self.quiet = quiet
         if self.path:
             self.path.parent.mkdir(parents=True, exist_ok=True)
-            self._f = open(self.path, "a")
 
     def log(self, step: int, **metrics):
         rec = {"step": step, "time": time.time(), **metrics}
         if self.path:
-            self._f.write(json.dumps(rec) + "\n")
-            self._f.flush()
+            # open-per-record: writes are rare relative to step time and the
+            # stream stays leak-free without trainer teardown hooks
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         if not self.quiet:
             msg = " ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
                            for k, v in metrics.items())
@@ -70,6 +71,15 @@ class CTClipTrainer:
         self.model = model
         self.tokenizer = tokenizer
         self.cfg = config
+        if config.remat and not (model.config.ctvit.remat
+                                 and model.config.bert.remat):
+            # enable per-block jax.checkpoint on both towers; parameter
+            # structure is unchanged so converted/restored weights still fit
+            # (reference toggle: CT_CLIP/ct_clip/ct_clip.py:64-74)
+            mcfg = model.config.replace(
+                ctvit=model.config.ctvit.replace(remat=True),
+                bert=model.config.bert.replace(remat=True))
+            self.model = CTCLIP(mcfg, dtype=model.dtype)
         self.train_ds = train_dataset
         self.valid_ds = valid_dataset
         self.results_folder = Path(results_folder)
@@ -85,8 +95,15 @@ class CTClipTrainer:
                                 max_grad_norm=config.max_grad_norm)
         self.step_fn = None  # compiled lazily on first batch
         self.state: Optional[TrainState] = None
-        self.logger = MetricLogger(self.results_folder / "metrics.jsonl")
+        # host-side artifacts come from process 0 only; checkpoints stay
+        # collective (Orbax writes every host's shards, parallel/multihost.py)
+        from ..parallel.multihost import is_main_process
+        self._is_main = is_main_process()
+        self.logger = MetricLogger(
+            self.results_folder / "metrics.jsonl" if self._is_main else None,
+            quiet=not self._is_main)
         self.ckpt = CheckpointManager(self.results_folder / "checkpoints")
+        self._zero_shot = None  # hoisted eval classifier, compiled once
 
     @staticmethod
     def _default_preprocess(sample, clip_before_resample: bool):
@@ -98,33 +115,49 @@ class CTClipTrainer:
 
     # ------------------------------------------------------------------ data
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite batches: host read -> device preprocess -> stack."""
+        """Infinite batches: host read -> device preprocess -> stack.
+
+        Multi-host (after `jax.distributed.initialize()`): every process
+        loads a disjoint `batch_size / process_count` slice of each global
+        batch and the global sharded arrays are assembled with
+        `jax.make_array_from_process_local_data` — the same jitted step
+        then runs unmodified (parallel/multihost.py)."""
+        from ..parallel.multihost import (assemble_global_batch,
+                                          local_batch_size, process_count,
+                                          process_index)
+
+        pc = process_count()
+        local_bs = local_batch_size(self.cfg.batch_size, pc)
         loader = VolumeLoader(self.train_ds, num_workers=self.num_workers,
-                              prefetch=2 * self.cfg.batch_size, shuffle=True,
-                              infinite=True, seed=self.cfg.seed)
+                              prefetch=2 * local_bs, shuffle=True,
+                              infinite=True, seed=self.cfg.seed,
+                              process_index=process_index(),
+                              process_count=pc)
         buf_v, buf_t = [], []
         for sample in loader:
             vol = self._preprocess(sample, self.train_ds.clip_before_resample)
             buf_v.append(vol[..., None])
             buf_t.append(sample.meta.text)
-            if len(buf_v) == self.cfg.batch_size:
+            if len(buf_v) == local_bs:
                 enc = self.tokenizer(buf_t, padding="max_length",
                                      truncation=True, max_length=512)
-                yield {
-                    "video": jnp.stack(buf_v).astype(self.cfg.dtype),
-                    "input_ids": jnp.asarray(enc["input_ids"]),
-                    "attention_mask": jnp.asarray(enc["attention_mask"]),
-                }
+                if pc > 1:
+                    local = {
+                        "video": np.stack([np.asarray(v) for v in buf_v])
+                        .astype(self.cfg.dtype),
+                        "input_ids": np.asarray(enc["input_ids"], np.int32),
+                        "attention_mask": np.asarray(enc["attention_mask"],
+                                                     np.int32),
+                    }
+                    yield assemble_global_batch(local, self.mesh,
+                                                self.cfg.mesh.data_axis)
+                else:
+                    yield {
+                        "video": jnp.stack(buf_v).astype(self.cfg.dtype),
+                        "input_ids": jnp.asarray(enc["input_ids"]),
+                        "attention_mask": jnp.asarray(enc["attention_mask"]),
+                    }
                 buf_v, buf_t = [], []
-
-        if config.remat and not (model.config.ctvit.remat
-                                 and model.config.bert.remat):
-            # enable per-block jax.checkpoint on both towers; parameter
-            # structure is unchanged so converted/restored weights still fit
-            mcfg = model.config.replace(
-                ctvit=model.config.ctvit.replace(remat=True),
-                bert=model.config.bert.replace(remat=True))
-            self.model = CTCLIP(mcfg, dtype=model.dtype)
 
     # ----------------------------------------------------------------- setup
     def _init_state(self, batch) -> None:
@@ -211,7 +244,15 @@ class CTClipTrainer:
         from ..inference.zero_shot import ZeroShotClassifier
 
         variables = {"params": self.state.params, "vq": self.state.vq}
-        clf = ZeroShotClassifier(self.model, variables, self.tokenizer)
+        if self._zero_shot is None:
+            # compile the eval towers ONCE; later evals only swap weights
+            # (fresh per-eval jit closures cost a full recompile — minutes
+            # at production shape, CTCLIPTrainer.py:266-327 equivalent)
+            self._zero_shot = ZeroShotClassifier(self.model, variables,
+                                                 self.tokenizer)
+        else:
+            self._zero_shot.update_variables(variables)
+        clf = self._zero_shot
         preds, labels = [], []
         loader = VolumeLoader(self.valid_ds, num_workers=self.num_workers,
                               prefetch=4)
@@ -223,6 +264,10 @@ class CTClipTrainer:
                                          .astype(self.cfg.dtype))[0])
             labels.append(sample.meta.labels)
         if not preds:
+            return
+        # compute above runs on every process (params are mesh-sharded, so
+        # the jitted towers are collective); artifacts come from process 0
+        if not self._is_main:
             return
         df = evaluate_internal(np.stack(preds), np.stack(labels),
                                list(PATHOLOGIES))

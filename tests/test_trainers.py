@@ -159,3 +159,86 @@ def test_ctclip_trainer_e2e_with_auto_resume(tmp_path):
                              num_workers=1, preprocess_fn=cheap_preprocess)
     state2 = trainer2.train()
     assert int(state2.step) == 3
+
+
+def _tiny_clip_cfg():
+    from ct_clip_tpu import BertConfig, CTCLIPConfig, CTViTConfig
+
+    ctvit = CTViTConfig(dim=8, codebook_size=16, image_size=32, patch_size=16,
+                        temporal_patch_size=4, num_frames=8, spatial_depth=1,
+                        temporal_depth=1, dim_head=4, heads=2)
+    bert = BertConfig(vocab_size=32, hidden_size=8, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=16,
+                      max_position_embeddings=512)
+    hw = ctvit.image_size // ctvit.patch_size
+    return CTCLIPConfig(dim_text=8, dim_image=hw * hw * ctvit.dim,
+                        dim_latent=8, ctvit=ctvit, bert=bert,
+                        gather_negatives=False)
+
+
+def test_trainconfig_remat_rewires_towers(tmp_path):
+    """TrainConfig(remat=True) must actually flip the per-block jax.checkpoint
+    toggles on both towers (round-1 regression: the rewiring block was dead
+    code inside the batch generator; reference toggle ct_clip.py:64-74)."""
+    from ct_clip_tpu import TrainConfig
+    from ct_clip_tpu.models import CTCLIP
+    from ct_clip_tpu.train import CTClipTrainer
+
+    cfg = _tiny_clip_cfg()
+    model = CTCLIP(cfg)
+    assert not model.config.ctvit.remat and not model.config.bert.remat
+    trainer = CTClipTrainer(model, tokenizer=None, train_dataset=None,
+                            config=TrainConfig(remat=True),
+                            results_folder=str(tmp_path))
+    assert trainer.model.config.ctvit.remat
+    assert trainer.model.config.bert.remat
+    # without the flag the model passes through untouched (same object)
+    trainer2 = CTClipTrainer(model, tokenizer=None, train_dataset=None,
+                             config=TrainConfig(remat=False),
+                             results_folder=str(tmp_path))
+    assert trainer2.model is model
+
+
+def test_mini_eval_reuses_compiled_classifier(tmp_path):
+    """The second _mini_eval must not build fresh jit closures: the hoisted
+    ZeroShotClassifier is reused with swapped weights, so the image-tower
+    compile count stays at 1 across evals (round-1 weakness: a fresh
+    classifier per eval recompiled the full tower every 100 steps)."""
+    from tests.test_data import _make_dataset, VOCAB
+    from ct_clip_tpu import TrainConfig
+    from ct_clip_tpu.data import CTReportDataset, CTReportDatasetInfer, \
+        WordPieceTokenizer
+    from ct_clip_tpu.models import CTCLIP
+    from ct_clip_tpu.train import CTClipTrainer
+
+    data, reports, meta, labels = _make_dataset(tmp_path, n=2,
+                                                with_labels=True)
+    train_ds = CTReportDataset(data, reports, meta, percent=100)
+    valid_ds = CTReportDatasetInfer(data, reports, meta, labels)
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(VOCAB) + "\n")
+    tok = WordPieceTokenizer(str(vocab_path))
+
+    cfg = _tiny_clip_cfg().replace(bert=_tiny_clip_cfg().bert.replace(
+        vocab_size=len(VOCAB)))
+    tcfg = TrainConfig(batch_size=1, lr=1e-4, num_train_steps=4,
+                       save_results_every=2, save_model_every=100,
+                       compute_dtype="float32")
+
+    def cheap_preprocess(sample, clip_before):
+        from ct_clip_tpu.data.generatect import resize_video
+        vol = np.clip(sample.vol + sample.intercept, -1000, 1000) / 1000.0
+        return jnp.asarray(resize_video(vol, (8, 32, 32)).astype(np.float32))
+
+    trainer = CTClipTrainer(CTCLIP(cfg), tok, train_dataset=train_ds,
+                            valid_dataset=valid_ds, config=tcfg,
+                            results_folder=str(tmp_path / "run"),
+                            num_workers=1, preprocess_fn=cheap_preprocess)
+    trainer.train()  # 4 steps -> mini-eval at steps 2 and 4
+    evals = list((tmp_path / "run").glob("mini_eval_step*.csv"))
+    assert len(evals) == 2, "expected two mini evals"
+    clf = trainer._zero_shot
+    assert clf is not None
+    # one traced/compiled instance of each eval closure across both evals
+    assert clf._encode_image._cache_size() == 1
+    assert clf._encode_text._cache_size() == 1
