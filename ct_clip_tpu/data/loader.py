@@ -51,21 +51,34 @@ class VolumeLoader:
 
     def __init__(self, dataset: CTReportDataset, num_workers: int = 8,
                  prefetch: int = 8, shuffle: bool = False,
-                 infinite: bool = False, seed: int = 0):
+                 infinite: bool = False, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        """`process_index`/`process_count` give each host of a multi-host
+        (pod) run a disjoint strided slice of every epoch — the torch
+        DistributedSampler contract accelerate applies in the reference.
+        The shuffle order depends only on `seed`, so all hosts agree on it
+        (parallel/multihost.shard_indices_for_process)."""
         self.ds = dataset
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.shuffle = shuffle
         self.infinite = infinite
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _indices(self) -> Iterator[int]:
+        from ..parallel.multihost import shard_indices_for_process
+
         rng = np.random.RandomState(self.seed)
         epoch = 0
         while True:
             order = np.arange(len(self.ds))
             if self.shuffle:
                 rng.shuffle(order)
+            if self.process_count > 1:
+                order = shard_indices_for_process(order, self.process_index,
+                                                  self.process_count)
             yield from order.tolist()
             epoch += 1
             if not self.infinite:

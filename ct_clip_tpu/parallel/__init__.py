@@ -1,7 +1,11 @@
 from .mesh import (batch_sharding, make_mesh, param_sharding_rules,
                    param_shardings, replicated, shard_params)
 from .collectives import all_gather_batch, shard_map_loss_fn
+from .multihost import (assemble_global_batch, is_main_process,
+                        local_batch_size, shard_indices_for_process)
 
 __all__ = ["batch_sharding", "make_mesh", "param_sharding_rules",
            "param_shardings", "replicated", "shard_params",
-           "all_gather_batch", "shard_map_loss_fn"]
+           "all_gather_batch", "shard_map_loss_fn",
+           "assemble_global_batch", "is_main_process", "local_batch_size",
+           "shard_indices_for_process"]
