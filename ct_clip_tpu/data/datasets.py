@@ -103,12 +103,35 @@ class CTReportDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def read_raw(self, index: int) -> Tuple[np.ndarray, VolumeMeta]:
+    def read_raw(self, index: int, dtype=None,
+                 layout: str = "zxy") -> Tuple[np.ndarray, VolumeMeta]:
         """Returns ((Z, X, Y) raw voxels, meta).  NIfTI fdata is (X, Y, Z);
-        transpose matches data.py:115."""
+        transpose matches data.py:115.
+
+        `dtype=np.int16` keeps the stored voxel ints (half the host->HBM
+        bytes of f32; the CSV slope/intercept are applied on device by the
+        fused preprocess).  Only valid when the header carries no scaling of
+        its own — true for CT-RATE, where rescale lives in metadata.csv —
+        otherwise the scaled-f32 path is used regardless.
+
+        `layout="zyx"` (with dtype) skips the host-side in-plane transpose
+        and returns the file's bytes as a zero-copy (Z, Y, X) view; the
+        consumer transposes axes (1, 2) on device (one cheap HBM pass vs a
+        ~0.3 s strided host copy per volume)."""
         meta = self.samples[index]
+        if dtype is not None:
+            vol, hdr = read_volume(meta.path, apply_scaling=False,
+                                   dtype=dtype,
+                                   layout="zyx" if layout == "zyx" else "xyz")
+            if (hdr.scl_slope in (0.0, 1.0) and hdr.scl_inter == 0.0):
+                if layout == "zyx":
+                    return vol, meta
+                return np.ascontiguousarray(vol.transpose(2, 0, 1)), meta
         vol, _hdr = read_volume(meta.path)
-        return np.ascontiguousarray(vol.transpose(2, 0, 1)), meta
+        vol = vol.transpose(2, 0, 1)
+        if layout == "zyx":
+            vol = vol.transpose(0, 2, 1)
+        return np.ascontiguousarray(vol), meta
 
 
 class CTReportDatasetInfer(CTReportDataset):

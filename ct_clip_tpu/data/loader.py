@@ -52,12 +52,19 @@ class VolumeLoader:
     def __init__(self, dataset: CTReportDataset, num_workers: int = 8,
                  prefetch: int = 8, shuffle: bool = False,
                  infinite: bool = False, seed: int = 0,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 raw_dtype=None, raw_layout: str = "zxy"):
         """`process_index`/`process_count` give each host of a multi-host
         (pod) run a disjoint strided slice of every epoch — the torch
         DistributedSampler contract accelerate applies in the reference.
         The shuffle order depends only on `seed`, so all hosts agree on it
-        (parallel/multihost.shard_indices_for_process)."""
+        (parallel/multihost.shard_indices_for_process).
+
+        `raw_dtype=np.int16` ships stored voxel ints instead of scaled f32
+        (halves host->device bytes); `raw_layout="zyx"` additionally skips
+        the host-side in-plane transpose — RawSample.vol is then (Z, Y, X)
+        and the consumer transposes axes (1, 2) on device.  See
+        CTReportDataset.read_raw."""
         self.ds = dataset
         self.num_workers = num_workers
         self.prefetch = prefetch
@@ -66,6 +73,8 @@ class VolumeLoader:
         self.seed = seed
         self.process_index = process_index
         self.process_count = process_count
+        self.raw_dtype = raw_dtype
+        self.raw_layout = raw_layout
 
     def _indices(self) -> Iterator[int]:
         from ..parallel.multihost import shard_indices_for_process
@@ -86,11 +95,12 @@ class VolumeLoader:
 
     def __iter__(self) -> Iterator[RawSample]:
         def load(index: int) -> RawSample:
-            vol, meta = self.ds.read_raw(index)
+            vol, meta = self.ds.read_raw(index, dtype=self.raw_dtype,
+                                         layout=self.raw_layout)
             true = np.asarray(vol.shape, np.int32)
             bshape = bucket_shape(vol.shape)
             if tuple(bshape) != vol.shape:
-                padded = np.zeros(bshape, np.float32)
+                padded = np.zeros(bshape, vol.dtype)
                 padded[: vol.shape[0], : vol.shape[1], : vol.shape[2]] = vol
                 vol = padded
             return RawSample(vol=vol, true_sizes=true,

@@ -83,14 +83,22 @@ def load_header(path: str | Path) -> NiftiHeader:
 
 
 def read_volume(path: str | Path, apply_scaling: bool = True,
-                dtype=np.float32) -> Tuple[np.ndarray, NiftiHeader]:
+                dtype=np.float32,
+                layout: str = "xyz") -> Tuple[np.ndarray, NiftiHeader]:
     """Returns (volume, header); volume shape = header.shape in Fortran
     (x-fastest) order, matching nibabel's array layout.  With apply_scaling,
     values are scl_slope * raw + scl_inter when slope != 0 (get_fdata).
 
+    `layout="zyx"` returns the reversed-axes C-contiguous view of the SAME
+    buffer (an F-order (X, Y, Z) file IS a C-order (Z, Y, X) array) —
+    zero-copy when dtype matches the stored dtype, so hot data paths can
+    defer the in-plane X<->Y transpose to the device.
+
     Uses the native C++ decoder (ct_clip_tpu/native) when built; pure-numpy
     fallback otherwise."""
-    if apply_scaling and dtype == np.float32:
+    if layout not in ("xyz", "zyx"):
+        raise ValueError(f"bad layout {layout!r}")
+    if apply_scaling and dtype == np.float32 and layout == "xyz":
         try:
             from ..native import read_volume_native
 
@@ -108,7 +116,10 @@ def read_volume(path: str | Path, apply_scaling: bool = True,
     count = int(np.prod(hdr.shape))
     dt = hdr.dtype.newbyteorder(hdr.byteorder)
     arr = np.frombuffer(raw, dtype=dt, count=count, offset=hdr.vox_offset)
-    vol = arr.reshape(hdr.shape, order="F").astype(dtype)
+    if layout == "zyx":
+        vol = arr.reshape(hdr.shape[::-1]).astype(dtype, copy=False)
+    else:
+        vol = arr.reshape(hdr.shape, order="F").astype(dtype, copy=False)
     if apply_scaling and hdr.scl_slope not in (0.0,) and not np.isnan(hdr.scl_slope):
         if hdr.scl_slope != 1.0 or hdr.scl_inter != 0.0:
             vol = vol * dtype(hdr.scl_slope) + dtype(hdr.scl_inter)

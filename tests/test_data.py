@@ -177,3 +177,50 @@ def test_native_nifti_reader_parity(tmp_path):
             scaled = nvol if slope == 0 else nvol * (slope or 1.0) + inter
             np.testing.assert_allclose(np.asarray(scaled, np.float32), pvol)
             np.testing.assert_allclose(pixdim, hdr.pixdim, rtol=1e-6)
+
+
+def test_read_raw_int16_zyx_parity(tmp_path):
+    """The hot ingest path (raw int16, zero-copy (Z, Y, X) layout, device
+    transpose) must reproduce the default scaled-f32 (Z, X, Y) path exactly
+    once the deferred transpose and CSV slope/intercept are applied."""
+    data, reports, meta, _ = _make_dataset(tmp_path, n=1)
+    ds = CTReportDataset(data, reports, meta, percent=100)
+
+    ref, m = ds.read_raw(0)  # (Z, X, Y) f32, header-scaled (identity here)
+    v16, _ = ds.read_raw(0, dtype=np.int16, layout="zyx")
+    assert v16.dtype == np.int16 and v16.shape == (10, 14, 12)
+    np.testing.assert_array_equal(v16.transpose(0, 2, 1).astype(np.float32),
+                                  ref)
+
+    v16_zxy, _ = ds.read_raw(0, dtype=np.int16)
+    np.testing.assert_array_equal(v16_zxy.astype(np.float32), ref)
+
+    loader = VolumeLoader(ds, num_workers=1, prefetch=1,
+                          raw_dtype=np.int16, raw_layout="zyx")
+    s = next(iter(loader))
+    assert s.vol.dtype == np.int16
+    assert tuple(s.true_sizes) == (10, 14, 12)  # (Z, Y, X)
+    zb, yb, xb = s.vol.shape
+    np.testing.assert_array_equal(s.vol[:10, :14, :12], v16)
+
+
+def test_read_raw_int16_falls_back_on_header_scaling(tmp_path):
+    """Files whose header carries real scl scaling must NOT take the raw-int
+    shortcut (values would be wrong by the header slope/inter)."""
+    import struct
+
+    data, reports, meta, _ = _make_dataset(tmp_path, n=1)
+    path = next(iter(CTReportDataset(data, reports, meta,
+                                     percent=100).samples)).path
+    # rewrite header scl_slope/inter in the gzipped file
+    import gzip
+    raw = bytearray(gzip.decompress(open(path, "rb").read()))
+    struct.pack_into("<2f", raw, 112, 2.0, 5.0)
+    with open(path, "wb") as f:
+        f.write(gzip.compress(bytes(raw), compresslevel=1))
+
+    ds = CTReportDataset(data, reports, meta, percent=100)
+    ref, _ = ds.read_raw(0)  # f32 path applies header scaling
+    got, _ = ds.read_raw(0, dtype=np.int16, layout="zyx")
+    assert got.dtype == np.float32  # fell back
+    np.testing.assert_array_equal(got, ref.transpose(0, 2, 1))
