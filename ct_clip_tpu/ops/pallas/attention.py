@@ -34,6 +34,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ._call import pallas_call
+
 _VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the ~16 MB/core scoped limit
 
 
@@ -131,13 +133,13 @@ def _pallas_attention(q, k, v, bias, g, key_bias=None):
         # (b, 1, n) so the block's trailing dims equal the array dims
         skb = pl.BlockSpec((g, 1, n), lambda hi, bi: (bi, 0, 0),
                            memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        return pallas_call(
             functools.partial(_kernel_kbias, g=g), grid=(h, b // g),
             in_specs=[sq, sk, sq, skb], out_specs=sq,
             out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype))(
                 q, kT, v, key_bias.astype(jnp.float32)[:, None, :])
     if bias is None:
-        return pl.pallas_call(
+        return pallas_call(
             functools.partial(_kernel, g=g), grid=(h, b // g),
             in_specs=[sq, sk, sq], out_specs=sq,
             out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype))(q, kT, v)
@@ -145,7 +147,7 @@ def _pallas_attention(q, k, v, bias, g, key_bias=None):
     sb = pl.BlockSpec((1, 1, n, n),
                       lambda hi, bi: (0, hi if bh > 1 else 0, 0, 0),
                       memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return pallas_call(
         functools.partial(_kernel_bias, g=g), grid=(h, b // g),
         in_specs=[sq, sk, sq, sb], out_specs=sq,
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype))(
@@ -264,7 +266,7 @@ def _pallas_attention_bwd_kbias(q, k, v, key_bias, do):
                       memory_space=pltpu.VMEM)
     skb = pl.BlockSpec((g, 1, n), lambda bi, hi: (bi, 0, 0),
                        memory_space=pltpu.VMEM)
-    dq, dk, dv, dkb = pl.pallas_call(
+    dq, dk, dv, dkb = pallas_call(
         functools.partial(_bwd_kernel_kbias, g=g),
         grid=(b // g, h),
         in_specs=[sq, st, st, skb, sq],
@@ -296,7 +298,7 @@ def _pallas_attention_bwd(q, k, v, bias, do):
     sb = pl.BlockSpec((1, 1, n, n),
                       lambda hi, bi: (0, hi if bh > 1 else 0, 0, 0),
                       memory_space=pltpu.VMEM)
-    dq, dk, dv, db = pl.pallas_call(
+    dq, dk, dv, db = pallas_call(
         functools.partial(_bwd_kernel_bias, g=g, bias_per_head=bh > 1),
         grid=(h, b // g),
         in_specs=[sq, st, st, sb, sq],
@@ -461,7 +463,7 @@ def _pallas_attention_kbias_drop_impl(q, k, v, key_bias, seed, g, rate):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(h, b // g),
         in_specs=[sq, sk, sq, skb], out_specs=sq)
-    return pl.pallas_call(
+    return pallas_call(
         functools.partial(_kernel_kbias_drop, g=g, rate=rate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
@@ -487,7 +489,7 @@ def _pallas_attention_kbias_drop_bwd(q, k, v, key_bias, seed, do, g, rate):
         num_scalar_prefetch=1, grid=(b // g, h),
         in_specs=[sq, st, st, skb, sq],
         out_specs=[sq, sq, sq, skb])
-    dq, dk, dv, dkb = pl.pallas_call(
+    dq, dk, dv, dkb = pallas_call(
         functools.partial(_bwd_kernel_kbias_drop, g=g, rate=rate),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype),

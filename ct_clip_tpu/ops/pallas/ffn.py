@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ._call import pallas_call
+
 from ..norms import layer_norm
 
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -100,7 +102,7 @@ def _pallas_ff(x, scale, bias, wia, wig, wo, eps, m):
     sx = pl.BlockSpec((m, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sv = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                     memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return pallas_call(
         functools.partial(_kernel, eps=eps), grid=(n_rows // m,),
         in_specs=[sx, sv((d,)), sv((d,)), sv((d, inner)), sv((d, inner)),
                   sv((inner, d))],
@@ -225,7 +227,7 @@ def _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, eps, m):
         jax.ShapeDtypeStruct((1, d), jnp.float32),       # dscale
         jax.ShapeDtypeStruct((1, d), jnp.float32),       # dbias
     ]
-    dx, dwa, dwg, dwo, ds, db = pl.pallas_call(
+    dx, dwa, dwg, dwo, ds, db = pallas_call(
         functools.partial(_bwd_kernel, eps=eps), grid=(n_rows // m,),
         in_specs=[sx, sx, sv((1, d)), sv((1, d)), sv((d, inner)),
                   sv((d, inner)), sv((inner, d))],

@@ -29,6 +29,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ._call import pallas_call
 import numpy as np
 
 _VMEM_BLOCK_BUDGET = 4 * 1024 * 1024
@@ -119,7 +121,7 @@ def _pallas_rearrange(video: jnp.ndarray, pt: int, p: int) -> jnp.ndarray:
     splits = h // hb
     video = video.astype(kdtype)
     kernel = functools.partial(_fwd_kernel, pt=pt, p=p, hb=hb, w=w)
-    out = pl.pallas_call(
+    out = pallas_call(
         kernel,
         grid=(b, t, splits),
         in_specs=[pl.BlockSpec((1, pt, hb * p, W),
@@ -152,7 +154,7 @@ def _pallas_unrearrange(patches: jnp.ndarray, pt: int, p: int,
     splits = h // hb
     patches = patches.astype(kdtype)
     kernel = functools.partial(_inv_kernel, pt=pt, p=p, hb=hb, w=w)
-    out = pl.pallas_call(
+    out = pallas_call(
         kernel,
         grid=(b, t, splits),
         in_specs=[pl.BlockSpec((1, hb * w, patch_dim),
@@ -351,7 +353,7 @@ def _pallas_patch_embed(video, s1, b1, wi, pbias, s2, b2, pt, p, eps, dtype):
     weights = (s1.astype(jnp.float32)[None, :], b1.astype(jnp.float32)[None, :],
                wi.astype(dtype), pbias.astype(dtype)[None, :],
                s2.astype(jnp.float32)[None, :], b2.astype(jnp.float32)[None, :])
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(_embed_kernel, pt=pt, p=p, hb=hb, w=w, eps=eps),
         grid=(b, t, splits),
         in_specs=[pl.BlockSpec((1, pt, hb * p, W),
@@ -393,7 +395,7 @@ def _pallas_patch_embed_bwd(video, s1, b1, wi, pbias, s2, b2, do,
         jax.ShapeDtypeStruct((1, dim), jnp.float32),           # ds2
         jax.ShapeDtypeStruct((1, dim), jnp.float32),           # db2
     ]
-    dwi, ds1, db1, dpb, ds2, db2 = pl.pallas_call(
+    dwi, ds1, db1, dpb, ds2, db2 = pallas_call(
         functools.partial(_embed_bwd_kernel, pt=pt, p=p, hb=hb, w=w, eps=eps),
         grid=(b, t, splits),
         in_specs=[pl.BlockSpec((1, pt, hb * p, W),

@@ -25,6 +25,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ._call import pallas_call
+
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
@@ -128,7 +130,7 @@ def _pallas_peg(x, kernel, bias, causal, cb):
                       memory_space=pltpu.VMEM)
     sb = pl.BlockSpec((1, cb), lambda bi, ci: (0, ci),
                       memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return pallas_call(
         functools.partial(_fwd_kernel, causal=causal),
         grid=(b, c // cb),
         in_specs=[sx, sw, sb],
@@ -155,7 +157,7 @@ def _pallas_peg_bwd(x, kernel, do, causal, cb):
                        memory_space=pltpu.VMEM)
     sdb = pl.BlockSpec((1, cb), lambda ci, bi: (0, ci),
                        memory_space=pltpu.VMEM)
-    dx, dw, db = pl.pallas_call(
+    dx, dw, db = pallas_call(
         functools.partial(_bwd_kernel, causal=causal),
         grid=(c // cb, b),
         in_specs=[sx, sx, sw],

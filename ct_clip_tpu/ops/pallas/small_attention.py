@@ -46,6 +46,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ._call import pallas_call
+
 NEG_INF = -3.4028234663852886e38
 _VMEM_BUDGET = 10 * 1024 * 1024
 _EPS_L2 = 1e-12
@@ -196,7 +198,7 @@ def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
                       memory_space=pltpu.VMEM)
     so = pl.BlockSpec((g, n, dim_out), lambda bi: (bi, 0, 0),
                       memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return pallas_call(
         functools.partial(_kernel, g=g, n=n, heads=heads, dim_head=dim_head,
                           scale=scale, dtype=cdt),
         grid=(b // g,),
@@ -415,7 +417,7 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
     out_specs = [sx] + [
         pl.BlockSpec(o.shape, (lambda nd: lambda bi: (0,) * nd)(len(o.shape)),
                      memory_space=pltpu.VMEM) for o in outs[1:]]
-    dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t = pl.pallas_call(
+    dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t = pallas_call(
         functools.partial(_bwd_kernel, g=g, n=n, heads=heads,
                           dim_head=dim_head, dtype=cdt),
         grid=(b // g,),

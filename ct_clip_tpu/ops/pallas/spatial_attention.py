@@ -28,6 +28,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ._call import pallas_call
+
 _EPS_L2 = 1e-12
 _VMEM_LIMIT = 64 * 1024 * 1024
 
@@ -272,7 +274,7 @@ def _pallas_spatial(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
     weights = _weights(gamma, wq, wkv, q_scale, k_scale, wout, bias,
                        heads, scale, dtype)
     sx, full = _specs(b, n, dim, weights)
-    return pl.pallas_call(
+    return pallas_call(
         functools.partial(_kernel, heads=heads, dim_head=dim_head,
                           dtype=dtype),
         grid=(b,),
@@ -306,7 +308,7 @@ def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
     out_specs = [sx] + [
         pl.BlockSpec(o.shape, (lambda nd: lambda bi: (0,) * nd)(len(o.shape)),
                      memory_space=pltpu.VMEM) for o in outs[1:]]
-    dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t, dbias = pl.pallas_call(
+    dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t, dbias = pallas_call(
         functools.partial(_bwd_kernel, heads=heads, dim_head=dim_head,
                           dtype=dtype),
         grid=(b,),

@@ -28,6 +28,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ._call import pallas_call
+
 _EPS_L2 = 1e-12
 _VMEM_LIMIT = 64 * 1024 * 1024
 
@@ -73,7 +75,7 @@ def pallas_assign(flat: jnp.ndarray, embed_n: jnp.ndarray,
     sx = pl.BlockSpec((m, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     se = pl.BlockSpec((k, dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
     si = pl.BlockSpec((m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ids = pl.pallas_call(
+    ids = pallas_call(
         _assign_kernel, grid=(n // m,),
         in_specs=[sx, se], out_specs=si,
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
@@ -114,7 +116,7 @@ def pallas_cluster_stats(flat: jnp.ndarray, ids: jnp.ndarray, k: int,
     si = pl.BlockSpec((m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sb = pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     se = pl.BlockSpec((k, dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bins, esum = pl.pallas_call(
+    bins, esum = pallas_call(
         functools.partial(_stats_kernel, k=k), grid=(n // m,),
         in_specs=[sx, si],
         out_specs=[sb, se],
