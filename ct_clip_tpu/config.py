@@ -70,6 +70,11 @@ class CTViTConfig(_Base):
     vq_decay: float = 0.8
     vq_commitment_weight: float = 1.0
     vq_eps: float = 1e-5
+    # Mesh axis to psum VQ EMA statistics over.  Leave None under plain pjit
+    # (global-batch semantics make per-call stats already global); set to the
+    # data axis when the tower runs inside shard_map, where each shard sees
+    # only its local tokens.
+    vq_axis_name: Optional[str] = None
     # Temporal extent of the production volume in frames (240 slices).
     num_frames: int = 240
     # Whether to build the decoder mirror (the reference's decoder is dead code,

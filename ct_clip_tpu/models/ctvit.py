@@ -71,7 +71,8 @@ class CTViT(nn.Module):
         self.vq = CosineVQ(dim=cfg.dim, codebook_size=cfg.codebook_size,
                            decay=cfg.vq_decay,
                            commitment_weight=cfg.vq_commitment_weight,
-                           eps=cfg.vq_eps, name="vq")
+                           eps=cfg.vq_eps, axis_name=cfg.vq_axis_name,
+                           name="vq")
 
         if cfg.with_decoder:
             self.dec_spatial_rel_pos_bias = ContinuousPositionBias(

@@ -524,6 +524,10 @@ def fused_attention_kbias_dropout(q, k, v, key_bias, seed, rate: float):
     q, k, v: (b, h, n, d) (scaling applied to q); key_bias: (b, n) additive;
     seed: (1,) int32; rate: static drop probability in (0, 1)."""
     b, h, n, d = q.shape
+    # _drop_seed packs (head, row) as head*65536 + row into the second PRNG
+    # word; rows beyond 65536 would collide streams across heads (production
+    # b <= 192, far below the bound)
+    assert b <= 65536, f"dropout PRNG packing requires b <= 65536, got {b}"
     g = _plan(q.shape, q.dtype.itemsize, None)
     if g is not None and key_bias.shape == (b, n):
         return _pallas_attention_kbias_drop_impl(q, k, v, key_bias, seed,

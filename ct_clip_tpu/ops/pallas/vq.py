@@ -13,12 +13,13 @@ Two kernels, both gridded over row blocks of the flattened token stream
     production shape) and accumulate bins = sum(onehot) and
     embed_sum = onehot^T @ x_n across the sequential grid steps.
 
-Similarity runs with bf16 inputs and f32 accumulation (the model feeds bf16
-activations anyway); codebook vectors are pre-normalized in XLA and cast to
-bf16 once per call.  Ids match the XLA f32 path except for exact
-cosine-similarity ties at bf16 resolution (~1e-3 on random inputs, none on
-real token distributions where code gaps are >> 1e-2).  Falls back to the
-XLA path off-TPU or for non-conforming shapes.
+Similarity and stats both run in f32 (normalization, matmul operands, and
+accumulation): bf16 operands would save half the MXU passes but flip
+assignments whenever two codes sit within bf16 rounding (~1e-3 relative) of
+a token — not just on exact ties — and let the EMA codebook trajectory
+drift from the f32 reference (round-1 advisory).  The only bf16 left in the
+chain is whatever the model's own activations carry.  Falls back to the XLA
+path off-TPU or for non-conforming shapes.
 """
 from __future__ import annotations
 
@@ -45,7 +46,8 @@ def _plan(n: int, dim: int, k: int) -> Optional[int]:
     for m in (512, 256, 128):
         if n % m:
             continue
-        if m * k * 4 + k * dim * 2 + 4 * m * dim * 4 \
+        # sim block (m, k) f32 + resident f32 codebook + token-block temps
+        if m * k * 4 + k * dim * 4 + 4 * m * dim * 4 \
                 <= _VMEM_LIMIT - 16 * 1024 * 1024:
             return m
     return None
@@ -57,7 +59,7 @@ def _norm_rows(x_f32):
 
 
 def _assign_kernel(x_ref, eb_ref, ids_ref):
-    xn = _norm_rows(x_ref[...].astype(jnp.float32)).astype(eb_ref.dtype)
+    xn = _norm_rows(x_ref[...].astype(jnp.float32))
     sim = jax.lax.dot_general(xn, eb_ref[...], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     ids_ref[...] = jnp.argmax(sim, axis=-1, keepdims=True).astype(jnp.int32)
@@ -80,18 +82,18 @@ def pallas_assign(flat: jnp.ndarray, embed_n: jnp.ndarray,
         in_specs=[sx, se], out_specs=si,
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(flat, embed_n.astype(jnp.bfloat16))
+    )(flat, embed_n.astype(jnp.float32))
     return ids[:, 0]
 
 
 def _stats_kernel(x_ref, ids_ref, bins_ref, esum_ref, *, k):
     from jax.experimental import pallas as pl
 
-    xn = _norm_rows(x_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+    xn = _norm_rows(x_ref[...].astype(jnp.float32))
     m = xn.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
-    onehot = (ids_ref[...] == lane).astype(jnp.bfloat16)
-    bins = jnp.sum(onehot.astype(jnp.float32), axis=0, keepdims=True)
+    onehot = (ids_ref[...] == lane).astype(jnp.float32)
+    bins = jnp.sum(onehot, axis=0, keepdims=True)
     esum = jax.lax.dot_general(onehot, xn, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 

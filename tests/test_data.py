@@ -224,3 +224,106 @@ def test_read_raw_int16_falls_back_on_header_scaling(tmp_path):
     got, _ = ds.read_raw(0, dtype=np.int16, layout="zyx")
     assert got.dtype == np.float32  # fell back
     np.testing.assert_array_equal(got, ref.transpose(0, 2, 1))
+
+
+# ---------------------------------------------------------------- BPE (CLIP)
+
+def _make_merges(tmp_path, merges):
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: test\n"
+                 + "\n".join(f"{a} {b}" for a, b in merges) + "\n")
+    return str(p)
+
+
+def _ref_bpe(token, ranks):
+    """Transcription of the reference merge loop
+    (CT_CLIP/ct_clip/tokenizer.py:81-120) as the parity oracle."""
+    word = tuple(token[:-1]) + (token[-1] + "</w>",)
+    if len(word) == 1:
+        return token + "</w>"
+    while True:
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        bigram = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if bigram not in ranks:
+            break
+        first, second = bigram
+        new_word = []
+        i = 0
+        while i < len(word):
+            if first in word[i:]:
+                j = word.index(first, i)
+                new_word.extend(word[i:j])
+                i = j
+            else:
+                new_word.extend(word[i:])
+                break
+            if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                new_word.append(first + second)
+                i += 2
+            else:
+                new_word.append(word[i])
+                i += 1
+        word = tuple(new_word)
+        if len(word) == 1:
+            break
+    return " ".join(word)
+
+
+def test_bpe_merges_match_reference_algorithm(tmp_path):
+    """Greedy lowest-rank merging must agree with the reference's loop on
+    random ASCII words under a random merge table."""
+    from ct_clip_tpu.data import SimpleBpeTokenizer
+
+    rng = np.random.RandomState(7)
+    letters = list("abcdefgh")
+    pool = ([(a, b) for a in letters for b in letters]
+            + [(a + b, c) for a in letters for b in letters for c in letters])
+    rng.shuffle(pool)
+    merges = [tuple(m) for m in pool[:200]]
+    tok = SimpleBpeTokenizer(_make_merges(tmp_path, merges))
+
+    for _ in range(50):
+        word = "".join(rng.choice(letters)
+                       for _ in range(rng.randint(1, 12)))
+        assert tok._merge_word(word) == _ref_bpe(word, tok.ranks)
+
+
+def test_bpe_encode_decode_roundtrip_and_padding(tmp_path):
+    from ct_clip_tpu.data import SimpleBpeTokenizer
+
+    tok = SimpleBpeTokenizer(_make_merges(
+        tmp_path, [("p", "l"), ("e", "f</w>"), ("pl", "e")]))
+    texts = ["Pleural   effusion", "no nodule"]
+    ids = [tok.encode(t) for t in texts]
+    assert tok.decode(ids[0]).strip() == "pleural effusion"
+    assert tok.decode(ids[1]).strip() == "no nodule"
+
+    batch = tok.tokenize(texts, context_length=64)
+    assert batch.shape[0] == 2 and batch.shape[1] == max(map(len, ids))
+    assert (batch[1, len(ids[1]):] == 0).all()  # zero padded
+
+    full = tok.tokenize(texts, context_length=64, pad_to_context_length=True)
+    assert full.shape == (2, 64)
+
+    with pytest.raises(RuntimeError):
+        tok.tokenize(["x " * 40], context_length=8)
+    trunc = tok.tokenize(["x " * 40], context_length=8, truncate_text=True)
+    assert trunc.shape == (1, 8)
+
+
+def test_bpe_special_tokens_and_vocab_layout(tmp_path):
+    """Vocab layout parity (tokenizer.py:65-70): 256 byte symbols, 256
+    end-of-word symbols, merges, then SOT/EOT at the top."""
+    from ct_clip_tpu.data import SimpleBpeTokenizer
+    from ct_clip_tpu.data.bpe import EOT, SOT
+
+    merges = [("h", "i</w>")]
+    tok = SimpleBpeTokenizer(_make_merges(tmp_path, merges))
+    assert tok.vocab_size == 256 * 2 + len(merges) + 2
+    assert tok.encoder[SOT] == tok.vocab_size - 2
+    assert tok.encoder[EOT] == tok.vocab_size - 1
+    # special tokens survive the word splitter as single tokens
+    ids = tok.encode(f"{SOT}hi{EOT}")
+    assert ids == [tok.encoder[SOT], tok.encoder["hi</w>"], tok.encoder[EOT]]
+    # and decode strips them
+    assert tok.decode(ids).strip() == "hi"

@@ -236,3 +236,58 @@ def test_cpb_unique_offset_gather_matches_full_grid():
     x = dense(x, p["net_out"]["kernel"], p["net_out"]["bias"])
     ref = jnp.transpose(x, (2, 0, 1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_vq_ema_psum_under_shard_map_matches_global():
+    """CosineVQ(axis_name=...) inside shard_map over the data axis must
+    produce the same EMA codebook update as a single full-batch call: the
+    per-shard cluster stats are psummed before the EMA step (round-1 weak
+    #9; the reference's torch VQ sees the whole DDP batch per rank only,
+    so this is strictly stronger)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    dim, K, n = 8, 16, 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, dim).astype(np.float32))
+
+    m_global = CosineVQ(dim=dim, codebook_size=K, decay=0.8)
+    variables = m_global.init(jax.random.PRNGKey(0), x)
+    _, gstate = m_global.apply(variables, x, train=True, mutable=["vq"])
+
+    m_sharded = CosineVQ(dim=dim, codebook_size=K, decay=0.8,
+                         axis_name="data")
+    devices = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+
+    def step(vq_state, xs):
+        _, new_state = m_sharded.apply(
+            {"params": {}, "vq": vq_state}, xs, train=True, mutable=["vq"])
+        return new_state["vq"]
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(), P("data")), out_specs=P())
+    sstate = sharded(variables["vq"], x)
+    np.testing.assert_allclose(np.asarray(sstate["embed"]),
+                               np.asarray(gstate["vq"]["embed"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sstate["cluster_size"]),
+                               np.asarray(gstate["vq"]["cluster_size"]),
+                               atol=1e-5)
+
+
+def test_ctvit_config_threads_vq_axis_name():
+    from ct_clip_tpu import CTViTConfig
+    from ct_clip_tpu.models.ctvit import CTViT
+
+    cfg = CTViTConfig(dim=8, codebook_size=16, image_size=16, patch_size=8,
+                      temporal_patch_size=2, num_frames=4, spatial_depth=1,
+                      temporal_depth=1, dim_head=4, heads=2,
+                      vq_axis_name="data")
+    import jax
+
+    model = CTViT(cfg)
+    video = jnp.zeros((1, cfg.num_frames, cfg.image_size, cfg.image_size, 1))
+    variables = model.init(jax.random.PRNGKey(0), video)
+    bound = model.bind(variables)
+    assert bound.vq.axis_name == "data"
