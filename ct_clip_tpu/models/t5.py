@@ -50,6 +50,56 @@ def t5_encode_text(texts: Sequence[str], name: str = T5_NAME,
     return hidden.numpy()
 
 
+def jax_t5_embedder(cfg, variables, tokenizer,
+                    max_length: int = MAX_LENGTH) -> Callable:
+    """texts -> (b, n, d) conditioning embeddings from the TPU-native
+    T5Encoder (models/t5_encoder.py), pad rows zeroed — the same contract
+    as the reference's t5_encode_text (t5.py:88-104) but jitted on device.
+    `variables` come from `convert_hf_t5_encoder` (pretrained) or
+    `T5Encoder(cfg).init` (from-scratch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .t5_encoder import T5Encoder
+
+    model = T5Encoder(cfg)
+
+    @jax.jit
+    def encode(ids, mask):
+        hidden = model.apply(variables, ids, mask)
+        return hidden * mask[..., None].astype(hidden.dtype)
+
+    def embed(texts: Sequence[str]) -> np.ndarray:
+        enc = tokenizer(list(texts), padding="longest", truncation=True,
+                        max_length=max_length)
+        return np.asarray(encode(jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"])))
+
+    return embed
+
+
+def load_t5_jax(name: str = T5_NAME, dtype=None):
+    """Load HF T5 weights from disk into the TPU-native encoder; returns
+    (embed_fn, cfg).  Needs the HF checkpoint locally (zero-egress safe)."""
+    from transformers import T5Config, T5EncoderModel, T5Tokenizer
+
+    from .t5_encoder import T5EncoderConfig, convert_hf_t5_encoder
+
+    hf_cfg = T5Config.from_pretrained(name)
+    cfg = T5EncoderConfig(
+        vocab_size=hf_cfg.vocab_size, d_model=hf_cfg.d_model,
+        d_kv=hf_cfg.d_kv, num_heads=hf_cfg.num_heads, d_ff=hf_cfg.d_ff,
+        num_layers=hf_cfg.num_layers,
+        relative_attention_num_buckets=hf_cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=getattr(
+            hf_cfg, "relative_attention_max_distance", 128),
+        gated_gelu="gated" in hf_cfg.feed_forward_proj,
+        **({"dtype": dtype} if dtype is not None else {}))
+    variables = convert_hf_t5_encoder(
+        T5EncoderModel.from_pretrained(name).state_dict(), cfg)
+    return jax_t5_embedder(cfg, variables, T5Tokenizer.from_pretrained(name)), cfg
+
+
 def bert_text_embedder(model, variables, tokenizer,
                        max_length: int = 512) -> Callable:
     """Build a conditioning embedder from the CXR-BERT tower (air-gapped
