@@ -34,7 +34,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ._call import pallas_call
+from ._call import (dot_precision, interpret_enabled, kernels_supported,
+                    pallas_call)
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the ~16 MB/core scoped limit
 
@@ -82,7 +83,7 @@ def _plan(q_shape, itemsize, bias_shape):
     if g is None:
         return None
     try:
-        return g if jax.devices()[0].platform == "tpu" else None
+        return g if kernels_supported() else None
     except Exception:  # noqa: BLE001
         return None
 
@@ -90,32 +91,38 @@ def _plan(q_shape, itemsize, bias_shape):
 def _kernel(q_ref, kT_ref, v_ref, o_ref, *, g):
     for j in range(g):
         sim = jnp.dot(q_ref[j, 0], kT_ref[j, 0],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=dot_precision(q_ref, kT_ref))
         attn = jax.nn.softmax(sim, axis=-1).astype(v_ref.dtype)
         o_ref[j, 0] = jnp.dot(attn, v_ref[j, 0],
-                              preferred_element_type=jnp.float32
+                              preferred_element_type=jnp.float32,
+                              precision=dot_precision(attn, v_ref)
                               ).astype(o_ref.dtype)
 
 
 def _kernel_kbias(q_ref, kT_ref, v_ref, kb_ref, o_ref, *, g):
     for j in range(g):
         sim = jnp.dot(q_ref[j, 0], kT_ref[j, 0],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=dot_precision(q_ref, kT_ref))
         sim = sim + kb_ref[j]  # (1, n) broadcasts over query rows
         attn = jax.nn.softmax(sim, axis=-1).astype(v_ref.dtype)
         o_ref[j, 0] = jnp.dot(attn, v_ref[j, 0],
-                              preferred_element_type=jnp.float32
+                              preferred_element_type=jnp.float32,
+                              precision=dot_precision(attn, v_ref)
                               ).astype(o_ref.dtype)
 
 
 def _kernel_bias(q_ref, kT_ref, v_ref, b_ref, o_ref, *, g):
     for j in range(g):
         sim = jnp.dot(q_ref[j, 0], kT_ref[j, 0],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=dot_precision(q_ref, kT_ref))
         sim = sim + b_ref[0, 0]
         attn = jax.nn.softmax(sim, axis=-1).astype(v_ref.dtype)
         o_ref[j, 0] = jnp.dot(attn, v_ref[j, 0],
-                              preferred_element_type=jnp.float32
+                              preferred_element_type=jnp.float32,
+                              precision=dot_precision(attn, v_ref)
                               ).astype(o_ref.dtype)
 
 
@@ -176,21 +183,26 @@ def _bwd_kernel_bias(q_ref, kT_ref, vT_ref, b_ref, do_ref,
         kT = kT_ref[j, 0]
         vT = vT_ref[j, 0]
         do_ = do_ref[j, 0]
-        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + bias_blk
+        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32,
+                      precision=dot_precision(q_, kT)) + bias_blk
         attn = jax.nn.softmax(sim, axis=-1)
-        dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
+        dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32,
+                     precision=dot_precision(do_, vT))
         row = jnp.sum(dS * attn, axis=-1, keepdims=True)
         dP = attn * (dS - row)
         dPb = dP.astype(cdt)
         dq_ref[j, 0] = jax.lax.dot_general(
             dPb, kT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(dPb, kT)).astype(dq_ref.dtype)
         dk_ref[j, 0] = jax.lax.dot_general(
             dPb, q_, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(dPb, q_)).astype(dk_ref.dtype)
         dv_ref[j, 0] = jax.lax.dot_general(
             attn.astype(cdt), do_, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(do_)).astype(dv_ref.dtype)
         db_acc = dP if db_acc is None else db_acc + dP
 
     @pl.when(db_fresh)
@@ -227,21 +239,26 @@ def _bwd_kernel_kbias(q_ref, kT_ref, vT_ref, kb_ref, do_ref,
         kT = kT_ref[j, 0]
         vT = vT_ref[j, 0]
         do_ = do_ref[j, 0]
-        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + kb_ref[j]
+        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32,
+                      precision=dot_precision(q_, kT)) + kb_ref[j]
         attn = jax.nn.softmax(sim, axis=-1)
-        dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
+        dS = jnp.dot(do_, vT, preferred_element_type=jnp.float32,
+                     precision=dot_precision(do_, vT))
         row = jnp.sum(dS * attn, axis=-1, keepdims=True)
         dP = attn * (dS - row)
         dPb = dP.astype(cdt)
         dq_ref[j, 0] = jax.lax.dot_general(
             dPb, kT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(dPb, kT)).astype(dq_ref.dtype)
         dk_ref[j, 0] = jax.lax.dot_general(
             dPb, q_, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(dPb, q_)).astype(dk_ref.dtype)
         dv_ref[j, 0] = jax.lax.dot_general(
             attn.astype(cdt), do_, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(do_)).astype(dv_ref.dtype)
         dkb_j = jnp.sum(dP, axis=0, keepdims=True)
 
         @pl.when(hi == 0)
@@ -398,13 +415,15 @@ def _kernel_kbias_drop(seed_ref, q_ref, kT_ref, v_ref, kb_ref, o_ref, *,
     hi, bi = pl.program_id(0), pl.program_id(1)
     for j in range(g):
         sim = jnp.dot(q_ref[j, 0], kT_ref[j, 0],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=dot_precision(q_ref, kT_ref))
         sim = sim + kb_ref[j]
         attn = jax.nn.softmax(sim, axis=-1)
         _drop_seed(seed_ref, hi, bi * g + j)
         attn = attn * _drop_mask(sim.shape, rate)
         o_ref[j, 0] = jnp.dot(attn.astype(v_ref.dtype), v_ref[j, 0],
-                              preferred_element_type=jnp.float32
+                              preferred_element_type=jnp.float32,
+                              precision=dot_precision(v_ref)
                               ).astype(o_ref.dtype)
 
 
@@ -431,13 +450,16 @@ def _bwd_kernel_kbias_drop(seed_ref, q_ref, kT_ref, vT_ref, kb_ref, do_ref,
         dPb = dP.astype(cdt)
         dq_ref[j, 0] = jax.lax.dot_general(
             dPb, kT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(dPb, kT)).astype(dq_ref.dtype)
         dk_ref[j, 0] = jax.lax.dot_general(
             dPb, q_, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(dPb, q_)).astype(dk_ref.dtype)
         dv_ref[j, 0] = jax.lax.dot_general(
             attn_d.astype(cdt), do_, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(do_)).astype(dv_ref.dtype)
         dkb_j = jnp.sum(dP, axis=0, keepdims=True)
 
         @pl.when(hi == 0)
@@ -528,7 +550,8 @@ def fused_attention_kbias_dropout(q, k, v, key_bias, seed, rate: float):
     # word; rows beyond 65536 would collide streams across heads (production
     # b <= 192, far below the bound)
     assert b <= 65536, f"dropout PRNG packing requires b <= 65536, got {b}"
-    g = _plan(q.shape, q.dtype.itemsize, None)
+    # the in-kernel TPU PRNG has no interpret rule — real TPU only
+    g = None if interpret_enabled() else _plan(q.shape, q.dtype.itemsize, None)
     if g is not None and key_bias.shape == (b, n):
         return _pallas_attention_kbias_drop_impl(q, k, v, key_bias, seed,
                                                  g, rate)
@@ -544,7 +567,7 @@ def _fused_drop_fwd(q, k, v, key_bias, seed, rate):
 def _fused_drop_bwd(rate, res, g_out):
     q, k, v, key_bias, seed = res
     b, h, n, d = q.shape
-    g = _plan(q.shape, q.dtype.itemsize, None)
+    g = None if interpret_enabled() else _plan(q.shape, q.dtype.itemsize, None)
     if g is not None and key_bias.shape == (b, n):
         dq, dk, dv, dkb = _pallas_attention_kbias_drop_bwd(
             q, k, v, key_bias, seed, g_out, g, rate)

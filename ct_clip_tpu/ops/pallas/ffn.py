@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ._call import pallas_call
+from ._call import kernels_supported, pallas_call
 
 from ..norms import layer_norm
 
@@ -78,7 +78,7 @@ def _plan(x_shape, d, inner, itemsize):
     if m is None:
         return None
     try:
-        return m if jax.devices()[0].platform == "tpu" else None
+        return m if kernels_supported() else None
     except Exception:  # noqa: BLE001
         return None
 

@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ._call import pallas_call
+from ._call import kernels_supported, pallas_call
 import numpy as np
 
 _VMEM_BLOCK_BUDGET = 4 * 1024 * 1024
@@ -70,7 +70,7 @@ def _use_pallas(pt: int, p: int, h: int, w: int, channels: int = 1) -> bool:
     if _pick_hb(pt, p, h, w) is None:
         return False
     try:
-        return jax.devices()[0].platform == "tpu"
+        return kernels_supported()
     except Exception:  # noqa: BLE001
         return False
 

@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ._call import pallas_call
+from ._call import kernels_supported, pallas_call
 
 _VMEM_LIMIT = 64 * 1024 * 1024
 
@@ -57,7 +57,7 @@ def _plan(shape, dtype) -> Optional[int]:
     if need > _VMEM_LIMIT - 16 * 1024 * 1024:
         return None
     try:
-        return cb if jax.devices()[0].platform == "tpu" else None
+        return cb if kernels_supported() else None
     except Exception:  # noqa: BLE001
         return None
 

@@ -46,7 +46,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ._call import pallas_call
+from ._call import kernels_supported, pallas_call
 
 NEG_INF = -3.4028234663852886e38
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -160,7 +160,7 @@ def _plan(b, n, dim, heads, dim_head) -> Optional[int]:
     if dim_head % 8 or (2 * heads * dim_head) % 128:
         return None
     try:
-        if jax.devices()[0].platform != "tpu":
+        if not kernels_supported():
             return None
     except Exception:  # noqa: BLE001
         return None

@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ._call import pallas_call
+from ._call import kernels_supported, pallas_call
 
 _EPS_L2 = 1e-12
 _VMEM_LIMIT = 64 * 1024 * 1024
@@ -65,7 +65,7 @@ def _plan(b, n, dim, heads, dim_head) -> Optional[bool]:
     if heads * n * n * 4 > 14 * 1024 * 1024:  # resident bias
         return None
     try:
-        return True if jax.devices()[0].platform == "tpu" else None
+        return True if kernels_supported() else None
     except Exception:  # noqa: BLE001
         return None
 

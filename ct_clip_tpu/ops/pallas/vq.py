@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ._call import pallas_call
+from ._call import kernels_supported, pallas_call
 
 _EPS_L2 = 1e-12
 _VMEM_LIMIT = 64 * 1024 * 1024
@@ -39,7 +39,7 @@ def _plan(n: int, dim: int, k: int) -> Optional[int]:
     if dim % 128 or k % 128:
         return None
     try:
-        if jax.devices()[0].platform != "tpu":
+        if not kernels_supported():
             return None
     except Exception:  # noqa: BLE001
         return None
@@ -60,8 +60,12 @@ def _norm_rows(x_f32):
 
 def _assign_kernel(x_ref, eb_ref, ids_ref):
     xn = _norm_rows(x_ref[...].astype(jnp.float32))
+    # assignment must be true f32: under the wrapper's DEFAULT pin an f32
+    # dot runs as one bf16 MXU pass (~1e-3 relative), enough to flip argmax
+    # between near-tied codes (round-1 advisory)
     sim = jax.lax.dot_general(xn, eb_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     ids_ref[...] = jnp.argmax(sim, axis=-1, keepdims=True).astype(jnp.int32)
 
 
@@ -95,7 +99,8 @@ def _stats_kernel(x_ref, ids_ref, bins_ref, esum_ref, *, k):
     onehot = (ids_ref[...] == lane).astype(jnp.float32)
     bins = jnp.sum(onehot, axis=0, keepdims=True)
     esum = jax.lax.dot_general(onehot, xn, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
