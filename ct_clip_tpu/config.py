@@ -166,11 +166,22 @@ class PreprocessConfig(_Base):
 @dataclass(frozen=True)
 class MeshConfig(_Base):
     """Device mesh layout. data = batch sharding (DDP/FSDP equivalent),
-    model = optional tensor sharding for the 294912x512 projection."""
+    model = optional tensor sharding for the 294912x512 projection.
+
+    fsdp selects the ZeRO stage for the `data` axis (the TPU equivalent of
+    the reference's `accelerate launch --use_fsdp`, scripts/README.md:16-20):
+      "none"  — params + optimizer state replicated (plain DDP);
+      "zero1" — Adam moments sharded over `data`, params replicated;
+      "full"  — params AND moments sharded over `data` (XLA inserts the
+                 all-gathers at use sites, reduce-scatters for grads)."""
 
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel_size: int = 1
+    fsdp: str = "none"
+    # leaves below this many elements stay replicated under fsdp (LN scales,
+    # biases, per-dim QK scales: sharding them buys nothing, costs collectives)
+    fsdp_min_size: int = 2 ** 16
 
 
 @dataclass(frozen=True)

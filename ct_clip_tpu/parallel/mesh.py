@@ -49,11 +49,38 @@ def param_sharding_rules(path_str: str, cfg: MeshConfig) -> P:
     return P()
 
 
+def fsdp_spec(shape, cfg: MeshConfig, axis_size: int, base: P = P()) -> P:
+    """ZeRO-style spec: shard the largest dimension divisible by the data
+    axis (skipping dims `base` already assigns to the model axis).  Returns
+    `base` unchanged for small leaves (< cfg.fsdp_min_size elements) or when
+    nothing divides."""
+    if axis_size <= 1 or not shape or int(np.prod(shape)) < cfg.fsdp_min_size:
+        return base
+    entries = list(base) + [None] * (len(shape) - len(base))
+    free = [d for d in range(len(shape))
+            if entries[d] is None and shape[d] % axis_size == 0]
+    if not free:
+        return base
+    d = max(free, key=lambda i: shape[i])
+    entries[d] = cfg.data_axis
+    return P(*entries)
+
+
+def _full_spec(path, leaf, cfg: MeshConfig, axis_size: int) -> P:
+    path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+    spec = param_sharding_rules(path_str, cfg)
+    if cfg.fsdp == "full":
+        spec = fsdp_spec(getattr(leaf, "shape", ()), cfg, axis_size, spec)
+    return spec
+
+
 def shard_params(params, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
-    """Apply param_sharding_rules across a pytree of parameters."""
+    """Apply param_sharding_rules (plus fsdp="full" data sharding) across a
+    pytree of parameters."""
+    axis_size = mesh.shape[cfg.data_axis]
+
     def place(path, leaf):
-        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-        spec = param_sharding_rules(path_str, cfg)
+        spec = _full_spec(path, leaf, cfg, axis_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -62,8 +89,40 @@ def shard_params(params, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
 def param_shardings(params, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
     """Like shard_params but returns the NamedSharding pytree (for jit
     in_shardings/out_shardings)."""
-    def spec(path, _):
-        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-        return NamedSharding(mesh, param_sharding_rules(path_str, cfg))
+    axis_size = mesh.shape[cfg.data_axis]
+
+    def spec(path, leaf):
+        return NamedSharding(mesh, _full_spec(path, leaf, cfg, axis_size))
 
     return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_opt_state(opt_state, params, mesh: Mesh,
+                    cfg: MeshConfig = MeshConfig()):
+    """ZeRO-1/2 equivalent: place every optimizer moment on the `data` axis
+    (the optax Adam mu/nu subtrees mirror the params treedef, so a moment
+    leaf's path suffix IS its param path).  Scalars (step counts) and leaves
+    with no divisible dim stay replicated.  No-op when cfg.fsdp == "none"."""
+    if cfg.fsdp == "none":
+        return opt_state
+    axis_size = mesh.shape[cfg.data_axis]
+
+    pspecs = {}
+
+    def record(path, leaf):
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        base = param_sharding_rules("/".join(keys), cfg)
+        pspecs[keys] = fsdp_spec(leaf.shape, cfg, axis_size, base)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(record, params)
+
+    def place(path, leaf):
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        for i in range(len(keys)):
+            spec = pspecs.get(keys[i:])
+            if spec is not None:
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, opt_state)

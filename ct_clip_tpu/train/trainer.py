@@ -30,7 +30,7 @@ from ..data.datasets import CTReportDataset, CTReportDatasetInfer
 from ..data.loader import VolumeLoader
 from ..models.ctclip import CTCLIP
 from ..ops.resample import preprocess_volume
-from ..parallel.mesh import make_mesh, shard_params
+from ..parallel.mesh import make_mesh, shard_opt_state, shard_params
 from .checkpoint import CheckpointManager
 from .optimizer import get_optimizer
 from .train_step import TrainState, create_train_state, make_train_step
@@ -171,7 +171,11 @@ class CTClipTrainer:
         # shardings make Orbax restores land on the same layout, so resumed
         # states feed the jitted step without device conflicts.
         params = shard_params(state.params, self.mesh, self.cfg.mesh)
-        state = state.replace(params=params, opt_state=self.tx.init(params))
+        # fsdp="zero1"/"full" additionally spreads the Adam moments over the
+        # data axis (ZeRO; the reference's `accelerate launch --use_fsdp`)
+        opt_state = shard_opt_state(self.tx.init(params), params,
+                                    self.mesh, self.cfg.mesh)
+        state = state.replace(params=params, opt_state=opt_state)
         repl = NamedSharding(self.mesh, P())
 
         def place(x):  # leaves without a mesh placement become replicated
@@ -181,7 +185,12 @@ class CTClipTrainer:
 
         self.state = jax.tree.map(place, state)
         raw_step = make_train_step(self.model, self.tx, self.cfg)
-        self.step_fn = jax.jit(raw_step, donate_argnums=(0,))
+        # pin the output state to the input placement — otherwise e.g.
+        # replicated params + zero1-sharded updates let GSPMD emit sharded
+        # params, and the drifted placement recompiles the step once
+        state_shardings = jax.tree.map(lambda x: x.sharding, self.state)
+        self.step_fn = jax.jit(raw_step, donate_argnums=(0,),
+                               out_shardings=(state_shardings, None))
 
     def load(self, step: Optional[int] = None) -> int:
         assert self.state is not None, "call train() or init on a batch first"
