@@ -179,6 +179,13 @@ class MeshConfig(_Base):
     model_axis: str = "model"
     model_parallel_size: int = 1
     fsdp: str = "none"
+    # Megatron-style tensor parallelism over `model`: column-shards the
+    # q/k/v + FFN-in projections, row-shards the out projections (GSPMD
+    # inserts the psums).  Off by default — the fused Pallas sublayers are
+    # data-parallel-oriented (a sharded operand to a custom call is gathered
+    # first), so TP pays off only for the XLA attention path / very large
+    # towers.
+    tensor_parallel: bool = False
     # leaves below this many elements stay replicated under fsdp (LN scales,
     # biases, per-dim QK scales: sharding them buys nothing, costs collectives)
     fsdp_min_size: int = 2 ** 16

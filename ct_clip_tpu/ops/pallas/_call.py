@@ -61,7 +61,16 @@ def dot_precision(*operands):
     return jax.lax.Precision.DEFAULT
 
 
-def pallas_call(*args, **kwargs):
+def mm_precision_for(dtype) -> str:
+    """Kernel-wide matmul precision for kernels whose dots all follow one
+    compute dtype: "highest" keeps f32 configs true-f32 on the MXU,
+    "default" is the only precision Mosaic accepts for bf16 dots."""
+    import jax.numpy as jnp
+
+    return "highest" if dtype == jnp.float32 else "default"
+
+
+def pallas_call(*args, mm_precision: str = "default", **kwargs):
     from jax.experimental import pallas as pl
 
     if interpret_enabled():
@@ -69,7 +78,7 @@ def pallas_call(*args, **kwargs):
     inner = pl.pallas_call(*args, **kwargs)
 
     def call(*operands):
-        with jax.default_matmul_precision("default"):
+        with jax.default_matmul_precision(mm_precision):
             return inner(*operands)
 
     return call

@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ._call import kernels_supported, pallas_call
+from ._call import dot_precision, kernels_supported, pallas_call
 
 from ..norms import layer_norm
 
@@ -86,11 +86,15 @@ def _plan(x_shape, d, inner, itemsize):
 def _kernel(x_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref, o_ref, *, eps):
     xn = layer_norm(x_ref[...], s_ref[...], b_ref[...], eps)
     xn = xn.astype(wa_ref.dtype)
-    a = jnp.dot(xn, wa_ref[...], preferred_element_type=jnp.float32)
-    g = jnp.dot(xn, wg_ref[...], preferred_element_type=jnp.float32)
+    a = jnp.dot(xn, wa_ref[...], preferred_element_type=jnp.float32,
+                precision=dot_precision(xn, wa_ref))
+    g = jnp.dot(xn, wg_ref[...], preferred_element_type=jnp.float32,
+                precision=dot_precision(xn, wg_ref))
     act = (a * _gelu_exact(g)).astype(wo_ref.dtype)
     o_ref[...] = jnp.dot(act, wo_ref[...],
-                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                         preferred_element_type=jnp.float32,
+                         precision=dot_precision(act, wo_ref)
+                         ).astype(o_ref.dtype)
 
 
 def _pallas_ff(x, scale, bias, wia, wig, wo, eps, m):
@@ -142,23 +146,28 @@ def _bwd_kernel(x_ref, do_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref,
     sc = s_ref[...].astype(jnp.float32)
     xn = (xhat * sc + b_ref[...].astype(jnp.float32)).astype(x.dtype) \
         .astype(cdt)
-    a = jnp.dot(xn, wa_ref[...], preferred_element_type=jnp.float32)
-    g = jnp.dot(xn, wg_ref[...], preferred_element_type=jnp.float32)
+    a = jnp.dot(xn, wa_ref[...], preferred_element_type=jnp.float32,
+                precision=dot_precision(xn, wa_ref))
+    g = jnp.dot(xn, wg_ref[...], preferred_element_type=jnp.float32,
+                precision=dot_precision(xn, wg_ref))
     phi = 0.5 * (1.0 + _erf_as(g * (2.0 ** -0.5)))
     gelu_g = g * phi
     act = (a * gelu_g).astype(cdt)
 
     # ---- backward ----
     dact = jax.lax.dot_general(do, wo_ref[...], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=dot_precision(do, wo_ref))
     # d gelu(g)/dg = Phi(g) + g * pdf(g)
     pdf = jnp.exp(-0.5 * g * g) * 0.3989422804014327
     da = (dact * gelu_g).astype(cdt)
     dg = (dact * a * (phi + g * pdf)).astype(cdt)
     dxn = (jax.lax.dot_general(da, wa_ref[...], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=dot_precision(da, wa_ref))
            + jax.lax.dot_general(dg, wg_ref[...], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32))
+                                 preferred_element_type=jnp.float32,
+                                 precision=dot_precision(dg, wg_ref)))
 
     dxhat = dxn * sc
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
@@ -166,11 +175,14 @@ def _bwd_kernel(x_ref, do_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref,
     dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
 
     dwa = jax.lax.dot_general(xn, da, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=dot_precision(xn, da))
     dwg = jax.lax.dot_general(xn, dg, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=dot_precision(xn, dg))
     dwo = jax.lax.dot_general(act, do, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=dot_precision(act, do))
     ds = jnp.sum(dxn * xhat, axis=0, keepdims=True)
     db = jnp.sum(dxn, axis=0, keepdims=True)
 

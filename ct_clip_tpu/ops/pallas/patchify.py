@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ._call import kernels_supported, pallas_call
+from ._call import kernels_supported, mm_precision_for, pallas_call
 import numpy as np
 
 _VMEM_BLOCK_BUDGET = 4 * 1024 * 1024
@@ -355,6 +355,7 @@ def _pallas_patch_embed(video, s1, b1, wi, pbias, s2, b2, pt, p, eps, dtype):
                s2.astype(jnp.float32)[None, :], b2.astype(jnp.float32)[None, :])
     out = pallas_call(
         functools.partial(_embed_kernel, pt=pt, p=p, hb=hb, w=w, eps=eps),
+        mm_precision=mm_precision_for(dtype),
         grid=(b, t, splits),
         in_specs=[pl.BlockSpec((1, pt, hb * p, W),
                                lambda bi, ti, si: (bi, ti, si, 0),
@@ -397,6 +398,7 @@ def _pallas_patch_embed_bwd(video, s1, b1, wi, pbias, s2, b2, do,
     ]
     dwi, ds1, db1, dpb, ds2, db2 = pallas_call(
         functools.partial(_embed_bwd_kernel, pt=pt, p=p, hb=hb, w=w, eps=eps),
+        mm_precision=mm_precision_for(dtype),
         grid=(b, t, splits),
         in_specs=[pl.BlockSpec((1, pt, hb * p, W),
                                lambda bi, ti, si: (bi, ti, si, 0),

@@ -35,12 +35,26 @@ def _pads(causal: bool) -> Tuple[Tuple[int, int], ...]:
 
 
 def xla_peg_conv(x, kernel, bias, causal: bool):
-    """lax fallback == flax nn.Conv(3x3x3, feature_group_count=dim)."""
-    dim = x.shape[-1]
-    out = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (1, 1, 1), _pads(causal),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        feature_group_count=dim)
+    """lax fallback == flax nn.Conv(3x3x3, feature_group_count=dim).
+
+    Written as 27 shifted multiply-adds rather than
+    `lax.conv_general_dilated(feature_group_count=dim)`: the grouped-conv
+    form hits a GSPMD partitioning bug where the kernel-gradient comes back
+    all-zero whenever the batch dim is sharded over a mesh axis (found by
+    the tensor-parallel equivalence test; dx/db were unaffected).  The
+    pointwise form partitions trivially and is numerically identical —
+    both accumulate the 27 taps in x.dtype."""
+    t, h, w = x.shape[1:4]
+    (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal)
+    xp = jnp.pad(x, ((0, 0), (pt0, pt1), (ph0, ph1), (pw0, pw1), (0, 0)))
+    kc = kernel.astype(x.dtype)
+    out = None
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                term = (xp[:, dt:dt + t, dh:dh + h, dw:dw + w, :]
+                        * kc[dt, dh, dw, 0])
+                out = term if out is None else out + term
     return out + bias.astype(out.dtype)
 
 

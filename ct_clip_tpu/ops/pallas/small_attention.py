@@ -46,7 +46,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ._call import kernels_supported, pallas_call
+from ._call import kernels_supported, mm_precision_for, pallas_call
 
 NEG_INF = -3.4028234663852886e38
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -201,6 +201,7 @@ def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
     return pallas_call(
         functools.partial(_kernel, g=g, n=n, heads=heads, dim_head=dim_head,
                           scale=scale, dtype=cdt),
+        mm_precision=mm_precision_for(cdt),
         grid=(b // g,),
         in_specs=[sx] + [full(w) for w in weights],
         out_specs=so,
@@ -420,6 +421,7 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
     dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t = pallas_call(
         functools.partial(_bwd_kernel, g=g, n=n, heads=heads,
                           dim_head=dim_head, dtype=cdt),
+        mm_precision=mm_precision_for(cdt),
         grid=(b // g,),
         in_specs=[sx, sx] + [full(w) for w in weights],
         out_specs=out_specs,

@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ._call import kernels_supported, pallas_call
+from ._call import kernels_supported, mm_precision_for, pallas_call
 
 _EPS_L2 = 1e-12
 _VMEM_LIMIT = 64 * 1024 * 1024
@@ -277,6 +277,7 @@ def _pallas_spatial(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
     return pallas_call(
         functools.partial(_kernel, heads=heads, dim_head=dim_head,
                           dtype=dtype),
+        mm_precision=mm_precision_for(dtype),
         grid=(b,),
         in_specs=[sx] + full,
         out_specs=sx,
@@ -311,6 +312,7 @@ def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
     dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t, dbias = pallas_call(
         functools.partial(_bwd_kernel, heads=heads, dim_head=dim_head,
                           dtype=dtype),
+        mm_precision=mm_precision_for(dtype),
         grid=(b,),
         in_specs=[sx, sx] + full,
         out_specs=out_specs,

@@ -28,7 +28,7 @@ def shard_map_loss_fn(loss_fn: Callable, mesh: Mesh, data_axis: str = "data"):
     """Wrap a per-device loss(text_latents, image_latents, temp) under
     shard_map with pod-wide negatives via all_gather_batch; returns the
     pmean'd scalar loss."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 home (experimental is deprecated)
 
     def per_device(tl, il, temp):
         tl_g = all_gather_batch(tl, data_axis)

@@ -40,12 +40,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding_rules(path_str: str, cfg: MeshConfig) -> P:
-    """Parameter partition specs.  Everything is replicated except the two
-    huge visual-latent projections (294912 x 512 = 150M params each,
-    ct_clip.py:564), whose input dim is sharded over `model`."""
+# Megatron TP: column-parallel kernels (output dim on `model`) feed
+# row-parallel kernels (input dim on `model`); GSPMD inserts one psum after
+# each row-parallel matmul.  Substrings match both the BERT tower
+# (query/key/value -> attention_output_dense, intermediate -> output_dense)
+# and the CTViT tower (to_q/to_kv -> to_out, ff wi -> wo).
+_TP_COL = ("attention_self/query/kernel", "attention_self/key/kernel",
+           "attention_self/value/kernel", "intermediate_dense/kernel",
+           "attn/to_q/kernel", "attn/to_kv/kernel", "ff/wi/kernel")
+_TP_ROW = ("attention_output_dense/kernel", "output_dense/kernel",
+           "attn/to_out/kernel", "ff/wo/kernel")
+
+
+def param_sharding_rules(path_str: str, cfg: MeshConfig,
+                         shape=None, model_size: Optional[int] = None) -> P:
+    """Parameter partition specs.  Always: the two huge visual-latent
+    projections (294912 x 512 = 150M params each, ct_clip.py:564) shard
+    their input dim over `model`.  With cfg.tensor_parallel: Megatron
+    column/row sharding of the attention and FFN projections in both towers
+    (skipped per-leaf when the dim doesn't divide model_size)."""
     if "to_visual_latent" in path_str and "kernel" in path_str:
         return P(cfg.model_axis, None)
+    if cfg.tensor_parallel:
+        def fits(d):  # unknown shape/size -> trust the caller
+            return (shape is None or model_size is None
+                    or shape[d] % model_size == 0)
+        if any(path_str.endswith(s) for s in _TP_COL) and fits(-1):
+            return P(None, cfg.model_axis)
+        if any(path_str.endswith(s) for s in _TP_ROW) and fits(0):
+            return P(cfg.model_axis, None)
     return P()
 
 
@@ -66,9 +89,11 @@ def fsdp_spec(shape, cfg: MeshConfig, axis_size: int, base: P = P()) -> P:
     return P(*entries)
 
 
-def _full_spec(path, leaf, cfg: MeshConfig, axis_size: int) -> P:
+def _full_spec(path, leaf, cfg: MeshConfig, axis_size: int,
+               model_size: int) -> P:
     path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-    spec = param_sharding_rules(path_str, cfg)
+    spec = param_sharding_rules(path_str, cfg, getattr(leaf, "shape", None),
+                                model_size)
     if cfg.fsdp == "full":
         spec = fsdp_spec(getattr(leaf, "shape", ()), cfg, axis_size, spec)
     return spec
@@ -78,9 +103,10 @@ def shard_params(params, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
     """Apply param_sharding_rules (plus fsdp="full" data sharding) across a
     pytree of parameters."""
     axis_size = mesh.shape[cfg.data_axis]
+    model_size = mesh.shape[cfg.model_axis]
 
     def place(path, leaf):
-        spec = _full_spec(path, leaf, cfg, axis_size)
+        spec = _full_spec(path, leaf, cfg, axis_size, model_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -90,9 +116,11 @@ def param_shardings(params, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
     """Like shard_params but returns the NamedSharding pytree (for jit
     in_shardings/out_shardings)."""
     axis_size = mesh.shape[cfg.data_axis]
+    model_size = mesh.shape[cfg.model_axis]
 
     def spec(path, leaf):
-        return NamedSharding(mesh, _full_spec(path, leaf, cfg, axis_size))
+        return NamedSharding(mesh,
+                             _full_spec(path, leaf, cfg, axis_size, model_size))
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
@@ -106,12 +134,14 @@ def shard_opt_state(opt_state, params, mesh: Mesh,
     if cfg.fsdp == "none":
         return opt_state
     axis_size = mesh.shape[cfg.data_axis]
+    model_size = mesh.shape[cfg.model_axis]
 
     pspecs = {}
 
     def record(path, leaf):
         keys = tuple(str(getattr(k, "key", k)) for k in path)
-        base = param_sharding_rules("/".join(keys), cfg)
+        base = param_sharding_rules("/".join(keys), cfg, leaf.shape,
+                                    model_size)
         pspecs[keys] = fsdp_spec(leaf.shape, cfg, axis_size, base)
         return leaf
 

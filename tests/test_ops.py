@@ -246,7 +246,7 @@ def test_vq_ema_psum_under_shard_map_matches_global():
     so this is strictly stronger)."""
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 home (experimental is deprecated)
 
     dim, K, n = 8, 16, 64
     rng = np.random.RandomState(0)
@@ -291,3 +291,33 @@ def test_ctvit_config_threads_vq_axis_name():
     variables = model.init(jax.random.PRNGKey(0), video)
     bound = model.bind(variables)
     assert bound.vq.axis_name == "data"
+
+
+def test_peg_conv_grads_survive_batch_sharding():
+    """Regression: the grouped-conv (feature_group_count=dim) form of the
+    PEG fallback returned an ALL-ZERO kernel gradient under GSPMD whenever
+    the batch dim was sharded over a mesh axis (dx/db were fine).  The
+    shifted multiply-add form must give identical grads sharded vs not."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ct_clip_tpu.ops.pallas.peg import peg_conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 4, 4, 4, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, 32).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+
+    for causal in (True, False):
+        def loss(x_, k_, b_):
+            return jnp.sum(peg_conv(x_, k_, b_, causal) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        ref = g(x, k, b)
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        with mesh:
+            got = g(xs, jax.device_put(k, NamedSharding(mesh, P())),
+                    jax.device_put(b, NamedSharding(mesh, P())))
+        for name, a_, b_ in zip(("dx", "dk", "db"), ref, got):
+            a_, b_ = np.asarray(a_, np.float64), np.asarray(b_, np.float64)
+            scale = max(np.abs(a_).max(), 1e-6)
+            assert np.abs(a_ - b_).max() / scale < 1e-5, name

@@ -647,19 +647,23 @@ def test_peg_conv_matches_nn_conv():
                         padding=(frame_pad, (1, 1), (1, 1)), use_bias=True)
         want = conv.apply({"params": {"kernel": kernel, "bias": bias}}, x)
         got = peg_conv(x, kernel, bias, causal)
+        # rtol: the shifted multiply-add form accumulates the 27 taps in a
+        # different order than lax.conv -> f32 reassociation noise on
+        # O(100) grad values
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=1e-5)
+                                   atol=1e-5, rtol=1e-5)
         g1 = jax.grad(lambda x_: jnp.sum(peg_conv(x_, kernel, bias,
                                                   causal) ** 2))(x)
         g2 = jax.grad(lambda x_: jnp.sum(conv.apply(
             {"params": {"kernel": kernel, "bias": bias}}, x_) ** 2))(x)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4,
+                                   rtol=1e-5)
         gk = jax.grad(lambda k_: jnp.sum(peg_conv(x, k_, bias,
                                                   causal) ** 2))(kernel)
         gk2 = jax.grad(lambda k_: jnp.sum(conv.apply(
             {"params": {"kernel": k_, "bias": bias}}, x) ** 2))(kernel)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gk2),
-                                   atol=1e-4)
+                                   atol=1e-4, rtol=1e-5)
 
 
 def test_peg_kernels_on_tpu_if_available():
