@@ -75,6 +75,11 @@ class CTViTConfig(_Base):
     # data axis when the tower runs inside shard_map, where each shard sees
     # only its local tokens.
     vq_axis_name: Optional[str] = None
+    # VQ assignment precision: True = true-f32 similarities (f32-reference
+    # argmax parity, what EMA training needs), False = one bf16 MXU pass
+    # (~4e-3 tie margin, 6x faster), None = exact in training / fast in
+    # inference (ops/vq.py CosineVQ.exact_sim).
+    vq_exact_sim: Optional[bool] = None
     # Temporal extent of the production volume in frames (240 slices).
     num_frames: int = 240
     # Whether to build the decoder mirror (the reference's decoder is dead code,

@@ -72,7 +72,7 @@ class CTViT(nn.Module):
                            decay=cfg.vq_decay,
                            commitment_weight=cfg.vq_commitment_weight,
                            eps=cfg.vq_eps, axis_name=cfg.vq_axis_name,
-                           name="vq")
+                           exact_sim=cfg.vq_exact_sim, name="vq")
 
         if cfg.with_decoder:
             self.dec_spatial_rel_pos_bias = ContinuousPositionBias(

@@ -88,6 +88,13 @@ class CosineVQ(nn.Module):
     commitment_weight: float = 1.0
     eps: float = 1e-5
     axis_name: Optional[str] = None  # psum EMA stats over this mesh axis
+    # True -> the assignment similarities are true f32 on the MXU (matches
+    # the f32 reference exactly; what EMA-codebook training parity needs).
+    # False -> one bf16 MXU pass, ~4e-3 relative margin within which
+    # near-tied codes can swap (measured ~0.5% of assignments on random
+    # tokens), 6x faster.  None (default) -> exact when train=True, fast
+    # for pure inference.
+    exact_sim: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,7 +125,8 @@ class CosineVQ(nn.Module):
             # per-block in VMEM — the f32 `flat` copy is only for the XLA
             # loss terms below
             flat_raw = jax.lax.stop_gradient(x.reshape(-1, self.dim))
-            ind = pallas_assign(flat_raw, embed_n, m)
+            exact = self.exact_sim if self.exact_sim is not None else train
+            ind = pallas_assign(flat_raw, embed_n, m, exact=exact)
         else:
             ind = _chunked_argmax_sim(l2norm(flat), embed_n)
         quantize = jnp.take(embed, ind, axis=0)

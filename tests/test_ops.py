@@ -321,3 +321,21 @@ def test_peg_conv_grads_survive_batch_sharding():
             a_, b_ = np.asarray(a_, np.float64), np.asarray(b_, np.float64)
             scale = max(np.abs(a_).max(), 1e-6)
             assert np.abs(a_ - b_).max() / scale < 1e-5, name
+
+
+def test_ctvit_config_threads_vq_exact_sim():
+    """vq_exact_sim: None (default) -> exact assignment in training only;
+    the flag must reach the CosineVQ module (ops/vq.py)."""
+    from ct_clip_tpu import CTViTConfig
+    from ct_clip_tpu.models.ctvit import CTViT
+
+    for flag in (None, True, False):
+        cfg = CTViTConfig(dim=8, codebook_size=16, image_size=16, patch_size=8,
+                          temporal_patch_size=2, num_frames=4, spatial_depth=1,
+                          temporal_depth=1, dim_head=4, heads=2,
+                          vq_exact_sim=flag)
+        model = CTViT(cfg)
+        video = jnp.zeros((1, cfg.num_frames, cfg.image_size,
+                           cfg.image_size, 1))
+        bound = model.bind(model.init(jax.random.PRNGKey(0), video))
+        assert bound.vq.exact_sim == flag
