@@ -16,9 +16,17 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 async_save: bool = True):
+        """async_save=True (default) overlaps the disk write with training:
+        Orbax copies device arrays to host synchronously inside save() (so
+        donated step buffers are safe to reuse immediately) and serializes
+        to disk in a background thread.  The ~seconds-long write of the
+        full TrainState no longer stalls the step loop; restore()/wait()
+        join any in-flight write first."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         self.mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
@@ -26,9 +34,15 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any) -> None:
         self.mgr.save(step, args=ocp.args.StandardSave(state))
+        if not self.async_save:
+            self.mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has fully committed."""
         self.mgr.wait_until_finished()
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        self.mgr.wait_until_finished()
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
@@ -36,6 +50,7 @@ class CheckpointManager:
 
     @property
     def latest_step(self) -> Optional[int]:
+        self.mgr.wait_until_finished()
         return self.mgr.latest_step()
 
 

@@ -238,6 +238,7 @@ class CTClipTrainer:
                     self._mini_eval(next_step, eval_fn)
                 if next_step % self.cfg.save_model_every == 0:
                     self.ckpt.save(next_step, self.state)
+        self.ckpt.wait()  # join any in-flight async checkpoint write
         return self.state
 
     # ------------------------------------------------------------------ eval
