@@ -195,6 +195,11 @@ class MeshConfig(_Base):
     # biases, per-dim QK scales: sharding them buys nothing, costs collectives)
     fsdp_min_size: int = 2 ** 16
 
+    def __post_init__(self):
+        if self.fsdp not in ("none", "zero1", "full"):
+            raise ValueError("MeshConfig.fsdp must be 'none', 'zero1' or "
+                             f"'full', got {self.fsdp!r}")
+
 
 @dataclass(frozen=True)
 class TrainConfig(_Base):

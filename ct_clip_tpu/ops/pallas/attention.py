@@ -438,12 +438,14 @@ def _bwd_kernel_kbias_drop(seed_ref, q_ref, kT_ref, vT_ref, kb_ref, do_ref,
         kT = kT_ref[j, 0]
         vT = vT_ref[j, 0]
         do_ = do_ref[j, 0]
-        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32) + kb_ref[j]
+        sim = jnp.dot(q_, kT, preferred_element_type=jnp.float32,
+                      precision=dot_precision(q_, kT)) + kb_ref[j]
         attn = jax.nn.softmax(sim, axis=-1)
         _drop_seed(seed_ref, hi, bi * g + j)
         mask = _drop_mask(sim.shape, rate)
         attn_d = attn * mask
-        dS_d = jnp.dot(do_, vT, preferred_element_type=jnp.float32)
+        dS_d = jnp.dot(do_, vT, preferred_element_type=jnp.float32,
+                       precision=dot_precision(do_, vT))
         dattn = dS_d * mask
         row = jnp.sum(dattn * attn, axis=-1, keepdims=True)
         dP = attn * (dattn - row)

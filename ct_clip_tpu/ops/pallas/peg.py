@@ -42,8 +42,10 @@ def xla_peg_conv(x, kernel, bias, causal: bool):
     form hits a GSPMD partitioning bug where the kernel-gradient comes back
     all-zero whenever the batch dim is sharded over a mesh axis (found by
     the tensor-parallel equivalence test; dx/db were unaffected).  The
-    pointwise form partitions trivially and is numerically identical —
-    both accumulate the 27 taps in x.dtype."""
+    pointwise form partitions trivially.  Taps multiply in x.dtype (what
+    the MXU-side Pallas kernel also sees) but accumulate in f32 with one
+    final rounding, matching both the conv it replaced and the Pallas
+    stencil's f32 accumulator."""
     t, h, w = x.shape[1:4]
     (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal)
     xp = jnp.pad(x, ((0, 0), (pt0, pt1), (ph0, ph1), (pw0, pw1), (0, 0)))
@@ -53,9 +55,9 @@ def xla_peg_conv(x, kernel, bias, causal: bool):
         for dh in range(3):
             for dw in range(3):
                 term = (xp[:, dt:dt + t, dh:dh + h, dw:dw + w, :]
-                        * kc[dt, dh, dw, 0])
+                        * kc[dt, dh, dw, 0]).astype(jnp.float32)
                 out = term if out is None else out + term
-    return out + bias.astype(out.dtype)
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _plan(shape, dtype) -> Optional[int]:

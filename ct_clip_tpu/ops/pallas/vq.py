@@ -77,8 +77,6 @@ def pallas_assign(flat: jnp.ndarray, embed_n: jnp.ndarray,
                   m: int, exact: bool = True) -> jnp.ndarray:
     """argmax_k l2norm(flat) @ embed_n.T; flat (n, dim) raw (un-normalized),
     embed_n (k, dim) pre-l2-normalized.  Returns (n,) int32."""
-    import functools
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -198,11 +198,8 @@ def test_fsdp_zero_stages_match_replicated_training():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-3)
         # the Adam moments really are spread over the data axis
-        import optax  # noqa: F401
         mu_leaves = [x for x in jax.tree.leaves(state.opt_state)
                      if hasattr(x, "sharding") and x.ndim >= 2 and x.size >= 64]
-        assert any("data" in (x.sharding.spec or ()) or
-                   not x.sharding.is_fully_replicated for x in mu_leaves)
         sharded = [x for x in mu_leaves if not x.sharding.is_fully_replicated]
         assert sharded, f"{fsdp}: no moment leaf is sharded"
         if fsdp == "full":
@@ -603,3 +600,10 @@ def test_zero_shot_sharded_over_mesh():
     scores_sharded = sharded.score_batch(batch["video"])
     np.testing.assert_allclose(scores_plain, scores_sharded, atol=2e-5)
     assert scores_plain.shape == (8, 18)
+
+
+def test_mesh_config_rejects_unknown_fsdp():
+    with pytest.raises(ValueError):
+        MeshConfig(fsdp="Full")
+    with pytest.raises(ValueError):
+        MeshConfig(fsdp="zero2")
