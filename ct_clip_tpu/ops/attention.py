@@ -355,6 +355,7 @@ class PEG(nn.Module):
 
     dim: int
     causal: bool = False
+    residual: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -362,7 +363,9 @@ class PEG(nn.Module):
         # raw params with nn.Conv's exact tree ({dsconv: {kernel, bias}}) and
         # initializers, so checkpoints are unchanged; the op itself is a
         # Pallas stencil in the token-native (..., c) layout on TPU
-        # (ops/pallas/peg.py) with a lax.conv fallback elsewhere
+        # (ops/pallas/peg.py) with a lax.conv fallback elsewhere.
+        # residual=True folds the transformer's `peg(x) + x` into the same
+        # kernel pass.
         class _ConvParams(nn.Module):
             dim: int
 
@@ -376,7 +379,8 @@ class PEG(nn.Module):
         kernel, bias = _ConvParams(self.dim, name="dsconv")()
         from .pallas.peg import peg_conv
 
-        return peg_conv(x.astype(self.dtype), kernel, bias, self.causal)
+        return peg_conv(x.astype(self.dtype), kernel, bias, self.causal,
+                        self.residual)
 
 
 class MaskgitTransformer(nn.Module):
@@ -420,9 +424,10 @@ class MaskgitTransformer(nn.Module):
                 # memory as (b,t,h,w,d) — intentional parity with ctvit.py:301.
                 d = x.shape[-1]
                 grid = x.reshape(*video_shape, d)
-                peg_out = PEG(self.dim, causal=self.peg_causal, dtype=self.dtype,
+                peg_out = PEG(self.dim, causal=self.peg_causal, residual=True,
+                              dtype=self.dtype,
                               name=f"layers_{layer}_peg")(grid)
-                x = peg_out.reshape(x.shape) + x
+                x = peg_out.reshape(x.shape)
 
             x = Attn(
                 self.dim, dim_head=self.dim_head, heads=self.heads,

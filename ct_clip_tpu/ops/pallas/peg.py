@@ -34,7 +34,7 @@ def _pads(causal: bool) -> Tuple[Tuple[int, int], ...]:
     return ((2, 0) if causal else (1, 1), (1, 1), (1, 1))
 
 
-def xla_peg_conv(x, kernel, bias, causal: bool):
+def xla_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
     """lax fallback == flax nn.Conv(3x3x3, feature_group_count=dim).
 
     Written as 27 shifted multiply-adds rather than
@@ -45,12 +45,13 @@ def xla_peg_conv(x, kernel, bias, causal: bool):
     pointwise form partitions trivially.  Taps multiply in x.dtype (what
     the MXU-side Pallas kernel also sees) but accumulate in f32 with one
     final rounding, matching both the conv it replaced and the Pallas
-    stencil's f32 accumulator."""
+    stencil's f32 accumulator.  residual=True returns x + conv(x) (the
+    transformer's PEG residual, folded in so the sum rounds once)."""
     t, h, w = x.shape[1:4]
     (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal)
     xp = jnp.pad(x, ((0, 0), (pt0, pt1), (ph0, ph1), (pw0, pw1), (0, 0)))
     kc = kernel.astype(x.dtype)
-    out = None
+    out = x.astype(jnp.float32) if residual else None
     for dt in range(3):
         for dh in range(3):
             for dw in range(3):
@@ -83,47 +84,57 @@ def _taps(causal):
     return pt0, ph0, pw0
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, causal):
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, causal, residual):
     t, h, w, cb = x_ref.shape[1:]
     pt0, ph0, pw0 = _taps(causal)
-    xp = jnp.pad(x_ref[0].astype(jnp.float32),
-                 ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
-    acc = jnp.zeros((t, h, w, cb), jnp.float32)
-    for kz in range(3):
-        for ky in range(3):
-            for kx in range(3):
+    x = x_ref[0].astype(jnp.float32)
+    xp = jnp.pad(x, ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
+    acc = x if residual else jnp.zeros((t, h, w, cb), jnp.float32)
+    # kx shifts along w — the second-minor (sublane) dim — so each misaligned
+    # slice costs a vector shift of the whole block; hoist it so the shift
+    # happens 3x instead of 27x (kz/ky slice only leading dims: address-only)
+    for kx in range(3):
+        xs = xp[:, :, kx:kx + w, :]
+        for kz in range(3):
+            for ky in range(3):
                 wv = w_ref[kz, ky, kx, 0]  # (cb,) f32
-                acc = acc + xp[kz:kz + t, ky:ky + h, kx:kx + w, :] * wv
+                acc = acc + xs[kz:kz + t, ky:ky + h] * wv
     o_ref[0] = (acc + b_ref[0]).astype(o_ref.dtype)
 
 
-def _bwd_kernel(do_ref, x_ref, w_ref, dx_ref, dw_ref, db_ref, *, causal):
+def _bwd_kernel(do_ref, x_ref, w_ref, dx_ref, dw_ref, db_ref, *, causal,
+                residual):
     from jax.experimental import pallas as pl
 
     t, h, w, cb = x_ref.shape[1:]
     pt0, ph0, pw0 = _taps(causal)
     do = do_ref[0].astype(jnp.float32)
     # dx: correlation with the flipped kernel == conv of dout with pads
-    # complemented (fwd pad (a, b) -> bwd pad (2-a, a... i.e. (2-pt0, pt0))
+    # complemented (fwd pad (a, b) -> bwd pad (2-a, a... i.e. (2-pt0, pt0));
+    # residual adds the identity term.  kx (sublane-dim) shift hoisted as in
+    # the forward.
     dop = jnp.pad(do, ((2 - pt0, pt0), (2 - ph0, ph0), (2 - pw0, pw0),
                        (0, 0)))
-    dx = jnp.zeros((t, h, w, cb), jnp.float32)
-    for kz in range(3):
-        for ky in range(3):
-            for kx in range(3):
+    dx = do if residual else jnp.zeros((t, h, w, cb), jnp.float32)
+    for kx in range(3):
+        dos = dop[:, :, kx:kx + w, :]
+        for kz in range(3):
+            for ky in range(3):
                 wv = w_ref[2 - kz, 2 - ky, 2 - kx, 0]
-                dx = dx + dop[kz:kz + t, ky:ky + h, kx:kx + w, :] * wv
+                dx = dx + dos[kz:kz + t, ky:ky + h] * wv
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
     xp = jnp.pad(x_ref[0].astype(jnp.float32),
                  ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
-    dw_rows = []
-    for kz in range(3):
-        for ky in range(3):
-            for kx in range(3):
-                prod = xp[kz:kz + t, ky:ky + h, kx:kx + w, :] * do
-                dw_rows.append(jnp.sum(prod.reshape(-1, cb), axis=0))
-    dw = jnp.stack(dw_rows)                    # (27, cb)
+    dw_taps = [None] * 27
+    for kx in range(3):
+        xs = xp[:, :, kx:kx + w, :]
+        for kz in range(3):
+            for ky in range(3):
+                prod = xs[kz:kz + t, ky:ky + h] * do
+                dw_taps[(kz * 3 + ky) * 3 + kx] = jnp.sum(
+                    prod.reshape(-1, cb), axis=0)
+    dw = jnp.stack(dw_taps)                    # (27, cb)
     db = jnp.sum(do.reshape(-1, cb), axis=0)[None, :]
 
     @pl.when(pl.program_id(1) == 0)
@@ -135,7 +146,7 @@ def _bwd_kernel(do_ref, x_ref, w_ref, dx_ref, dw_ref, db_ref, *, causal):
     db_ref[...] += db
 
 
-def _pallas_peg(x, kernel, bias, causal, cb):
+def _pallas_peg(x, kernel, bias, causal, cb, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -147,7 +158,7 @@ def _pallas_peg(x, kernel, bias, causal, cb):
     sb = pl.BlockSpec((1, cb), lambda bi, ci: (0, ci),
                       memory_space=pltpu.VMEM)
     return pallas_call(
-        functools.partial(_fwd_kernel, causal=causal),
+        functools.partial(_fwd_kernel, causal=causal, residual=residual),
         grid=(b, c // cb),
         in_specs=[sx, sw, sb],
         out_specs=sx,
@@ -157,7 +168,7 @@ def _pallas_peg(x, kernel, bias, causal, cb):
       bias.astype(jnp.float32)[None, :])
 
 
-def _pallas_peg_bwd(x, kernel, do, causal, cb):
+def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -174,7 +185,7 @@ def _pallas_peg_bwd(x, kernel, do, causal, cb):
     sdb = pl.BlockSpec((1, cb), lambda ci, bi: (0, ci),
                        memory_space=pltpu.VMEM)
     dx, dw, db = pallas_call(
-        functools.partial(_bwd_kernel, causal=causal),
+        functools.partial(_bwd_kernel, causal=causal, residual=residual),
         grid=(c // cb, b),
         in_specs=[sx, sx, sw],
         out_specs=[sx, sdw, sdb],
@@ -186,30 +197,34 @@ def _pallas_peg_bwd(x, kernel, do, causal, cb):
     return dx, dw.reshape(3, 3, 3, 1, c), db[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def peg_conv(x, kernel, bias, causal: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def peg_conv(x, kernel, bias, causal: bool = False, residual: bool = False):
     """Depthwise 3x3x3 conv + bias over (b, t, h, w, c), causal frame pad.
 
     kernel: (3, 3, 3, 1, c) (flax Conv DHWIO layout for
-    feature_group_count=c); bias: (c,)."""
+    feature_group_count=c); bias: (c,).  residual=True computes
+    x + conv(x) in one pass (the transformer PEG residual,
+    transformer_maskgit/attention.py:313) — saves a full extra HBM
+    read+write of the (b, t, h, w, c) activation per layer."""
     cb = _plan(x.shape, x.dtype)
     if cb is not None:
-        return _pallas_peg(x, kernel, bias, causal, cb)
-    return xla_peg_conv(x, kernel, bias, causal)
+        return _pallas_peg(x, kernel, bias, causal, cb, residual)
+    return xla_peg_conv(x, kernel, bias, causal, residual)
 
 
-def _peg_fwd(x, kernel, bias, causal):
-    return peg_conv(x, kernel, bias, causal), (x, kernel)
+def _peg_fwd(x, kernel, bias, causal, residual):
+    return peg_conv(x, kernel, bias, causal, residual), (x, kernel)
 
 
-def _peg_bwd(causal, res, g):
+def _peg_bwd(causal, residual, res, g):
     x, kernel = res
     cb = _plan(x.shape, x.dtype)
     if cb is not None:
         dx, dw, db = _pallas_peg_bwd(x, kernel, g.astype(x.dtype), causal,
-                                     cb)
+                                     cb, residual)
         return dx, dw.astype(kernel.dtype), db
-    _, vjp = jax.vjp(lambda x_, k_, b_: xla_peg_conv(x_, k_, b_, causal),
+    _, vjp = jax.vjp(lambda x_, k_, b_: xla_peg_conv(x_, k_, b_, causal,
+                                                     residual),
                      x, kernel, jnp.zeros((x.shape[-1],), jnp.float32))
     dx, dw, _ = vjp(g)
     db = jnp.sum(g.astype(jnp.float32), axis=tuple(range(g.ndim - 1)))

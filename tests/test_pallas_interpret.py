@@ -274,3 +274,18 @@ def test_peg_fwd_bwd_interpret():
         # through bf16 -> bf16-scale tolerance (kernel is the tighter one)
         for a, b_ in zip((dx, dw, db), vjp(do)):
             assert _rel_err(a, b_) < 5e-2
+
+        # residual=True: x + conv(x) folded into the same pass
+        got_r = _pallas_peg(x, kernel, bias, causal, cb, residual=True)
+        ref_r = xla_peg_conv(x, kernel.astype(jnp.bfloat16), bias, causal,
+                             residual=True)
+        assert _rel_err(got_r, ref_r) < 2e-2
+        dxr, dwr, dbr = _pallas_peg_bwd(x, kernel, do, causal, cb,
+                                        residual=True)
+        _, vjp_r = jax.vjp(lambda x_, k_, b_: xla_peg_conv(
+            x_, k_.astype(jnp.bfloat16), b_, causal, residual=True),
+            x, kernel, bias)
+        for a, b_ in zip((dxr, dwr, dbr), vjp_r(do)):
+            assert _rel_err(a, b_) < 5e-2
+        # the identity term: residual dx == plain dx + do exactly (f32 path)
+        assert _rel_err(dxr, dx + do) < 2e-2

@@ -78,7 +78,10 @@ def main() -> None:
 
 def report(tracedir: str, iters: int, batch: int) -> None:
     """Aggregate device-op durations from the xplane proto (TPU plane)."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:  # moved in tf>=2.21
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(f"{tracedir}/**/*.xplane.pb", recursive=True)
     if not paths:
