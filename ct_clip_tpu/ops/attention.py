@@ -351,6 +351,11 @@ class PEG(nn.Module):
     Input must already be shaped (b, t, h, w, d) by the caller; the reference's
     reshape semantics (including the temporal-stage memory reinterpretation,
     ctvit.py:299-303 + attention.py:69-70) live in the Transformer wrapper.
+
+    With residual=True the residual stream is computed in self.dtype (x is
+    cast before the fused conv+add), so callers must keep x in self.dtype —
+    an f32 residual stream fed to a bfloat16 PEG would be silently
+    downcast.  Asserted below.
     """
 
     dim: int
@@ -379,6 +384,10 @@ class PEG(nn.Module):
         kernel, bias = _ConvParams(self.dim, name="dsconv")()
         from .pallas.peg import peg_conv
 
+        if self.residual and x.dtype != self.dtype:
+            raise ValueError(
+                f"PEG(residual=True) would downcast the {x.dtype} residual "
+                f"stream to {self.dtype}; pass x in self.dtype")
         return peg_conv(x.astype(self.dtype), kernel, bias, self.causal,
                         self.residual)
 

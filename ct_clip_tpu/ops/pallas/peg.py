@@ -68,9 +68,15 @@ def _plan(shape, dtype) -> Optional[int]:
     if w % 8:
         return None
     cb = 128
-    # padded block + f32 accumulator + shifted temp
-    need = (t + 2) * (h + 2) * (w + 2) * cb * 2 \
-        + 2 * t * h * w * cb * 4 + 4 * t * h * w * cb * 2
+    # Peak live set of the larger (backward) kernel, one phase at a time
+    # (Mosaic reuses dead buffers across the dx and dw phases): the f32
+    # zero-padded block (xp/dop), one hoisted f32 kx-slice (xs/dos), two
+    # full-size f32 arrays (do + dx accumulator / do + prod temp), and the
+    # three bf16 in/out blocks.  The forward's live set is strictly smaller.
+    thw = t * h * w
+    need = (t + 2) * (h + 2) * (w + 2) * cb * 4 \
+        + (t + 2) * (h + 2) * w * cb * 4 \
+        + 2 * thw * cb * 4 + 3 * thw * cb * 2
     if need > _VMEM_LIMIT - 16 * 1024 * 1024:
         return None
     try:
