@@ -92,9 +92,12 @@ class TAttention(nn.Module):
     def forward(self, x, attn_bias=None):
         b, n, _ = x.shape
         h = self.heads
+        # kv_input is captured BEFORE the norm (attention.py:139-143: the
+        # reference norms only the query input in self-attention)
+        kv_input = x
         x = self.norm(x)
         q = self.to_q(x)
-        k, v = self.to_kv(x).chunk(2, dim=-1)
+        k, v = self.to_kv(kv_input).chunk(2, dim=-1)
         q, k, v = (t.reshape(b, n, h, -1).permute(0, 2, 1, 3)
                    for t in (q, k, v))
         q, k = F.normalize(q, dim=-1), F.normalize(k, dim=-1)
@@ -192,7 +195,7 @@ class TCTViT(nn.Module):
                                                      DIM_HEAD)
         self.vq = TVQ(CODEBOOK, DIM)
 
-    def forward(self, video):
+    def forward(self, video, return_pre_vq: bool = False):
         """video (b, c, f, H, W) -> encoded+quantized tokens (b, t, h, w, d)
         (the ctvit.py:353-412 return_encoded_tokens path)."""
         b, c, f, H, W = video.shape
@@ -216,6 +219,8 @@ class TCTViT(nn.Module):
         x = x.reshape(b, h, w, t, -1).permute(0, 3, 1, 2, 4)
         # VQ over packed tokens (ctvit.py:396-403)
         flat = x.reshape(b, t * h * w, -1)
+        if return_pre_vq:
+            return flat
         quant, _ = self.vq(flat)
         return quant.reshape(b, t, h, w, -1)
 
@@ -237,6 +242,7 @@ def test_ctvit_encoder_matches_torch_transcription():
     video_t = torch.randn(2, 1, FRAMES, IMAGE, IMAGE)
     with torch.no_grad():
         ref = tmodel(video_t).numpy()
+        ref_pre_vq = tmodel(video_t, return_pre_vq=True).numpy()
 
     cfg = CTViTConfig(dim=DIM, codebook_size=CODEBOOK, image_size=IMAGE,
                       patch_size=PATCH, temporal_patch_size=TPATCH,
@@ -250,3 +256,15 @@ def test_ctvit_encoder_matches_torch_transcription():
 
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    # ALSO compare the continuous pre-VQ features: the quantized output is a
+    # codebook row lookup, so identical indices would mask any encoder
+    # divergence below the assignment-flip threshold (this caught a real
+    # pre-norm-vs-post-norm kv discrepancy once).
+    variables = {"params": params, "vq": vq_state}
+    tokens = model.apply(variables, video_j.astype(jnp.float32),
+                         method=CTViT.embed_patches)
+    pre_vq = model.apply(variables, tokens, method=CTViT.encode)
+    b, t, h, w, d = pre_vq.shape
+    np.testing.assert_allclose(np.asarray(pre_vq).reshape(b, t * h * w, d),
+                               ref_pre_vq, atol=1e-4, rtol=1e-4)
