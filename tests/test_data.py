@@ -327,3 +327,70 @@ def test_bpe_special_tokens_and_vocab_layout(tmp_path):
     assert ids == [tok.encoder[SOT], tok.encoder["hi</w>"], tok.encoder[EOT]]
     # and decode strips them
     assert tok.decode(ids).strip() == "hi"
+
+
+def _real_bpe_vocab_path():
+    """The real 16e6 merge table: $CTCLIP_BPE_VOCAB, or the vendored
+    reference asset when this sandbox has one (a public OpenAI CLIP data
+    file, CT_CLIP/ct_clip/data/bpe_simple_vocab_16e6.txt)."""
+    for cand in (os.environ.get("CTCLIP_BPE_VOCAB"),
+                 "/root/reference/CT_CLIP/ct_clip/data/bpe_simple_vocab_16e6.txt"):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+@pytest.mark.skipif(_real_bpe_vocab_path() is None,
+                    reason="real bpe_simple_vocab_16e6.txt not available")
+def test_bpe_real_vocab_golden():
+    """Golden parity against the real CLIP merge table: fixed known
+    encodings (the public OpenAI CLIP tokenizer ids) plus a cross-check
+    against HF's independent CLIPTokenizer BPE built from the same table."""
+    from ct_clip_tpu.data import SimpleBpeTokenizer
+    from ct_clip_tpu.data.bpe import EOT, SOT, bytes_to_unicode
+
+    path = _real_bpe_vocab_path()
+    tok = SimpleBpeTokenizer(path)
+    assert tok.vocab_size == 49408
+    assert tok.encoder[SOT] == 49406 and tok.encoder[EOT] == 49407
+
+    # known public CLIP encodings
+    assert tok.encode("hello world") == [3306, 1002]
+    assert tok.encode("a photo of a cat") == [320, 1125, 539, 320, 2368]
+    assert tok.decode(tok.encode("hello world")).strip() == "hello world"
+    # decode is whitespace-lossy around punctuation (each token gets a
+    # trailing space from </w>), same as the reference decoder
+    assert (tok.decode(tok.encode("pleural effusion is present.")).split()
+            == ["pleural", "effusion", "is", "present", "."])
+
+    # independent implementation cross-check: rebuild HF CLIPTokenizer's
+    # vocab.json/merges.txt from the same table (vocab layout per the CLIP
+    # spec: 256 bytes, 256 byte+</w>, merges, SOT/EOT)
+    try:
+        from transformers import CLIPTokenizer
+    except ImportError:
+        pytest.skip("transformers.CLIPTokenizer unavailable")
+    import json
+    import tempfile
+
+    merges = open(path, encoding="utf-8").read().split("\n")
+    merge_lines = merges[1:49152 - 256 - 2 + 1]
+    vocab = list(bytes_to_unicode().values())
+    vocab += [v + "</w>" for v in vocab]
+    vocab += ["".join(m.split()) for m in merge_lines]
+    vocab += [SOT, EOT]
+    with tempfile.TemporaryDirectory() as d:
+        vj, mt = os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
+        json.dump({v: i for i, v in enumerate(vocab)}, open(vj, "w"))
+        open(mt, "w").write("#version: 0.2\n" + "\n".join(merge_lines))
+        hf = CLIPTokenizer(vj, mt)
+    sentences = [
+        "Pleural effusion is present.",
+        "Lung nodule is not present.",
+        "There are peribronchial thickening and atelectasis in both lungs.",
+        "mosaic attenuation, ground-glass opacities (3 mm), consolidation!",
+    ]
+    for s in sentences:
+        hf_ids = hf(s)["input_ids"]
+        assert hf_ids[0] == 49406 and hf_ids[-1] == 49407
+        assert tok.encode(s) == hf_ids[1:-1], s
