@@ -3,23 +3,33 @@
 Reference baseline: ~1.5 s/volume on a single GPU (=0.667 vol/s,
 /root/reference/README.md:46; BASELINE.md).  Target: >=10 vol/s/chip.
 
-Two figures:
+Figures reported (one JSON line):
 
-1. `value` (headline, same metric as round 1): device-side cost per volume
-   on one chip — CTViT image encode (480x480x240, bf16) + latent projection
-   + 36-prompt scoring, prompt latents cached once (the TPU-native zero-shot
-   design, ct_clip_tpu/inference/zero_shot.py).
+* `value` (headline): device-side cost per volume on one chip — CTViT
+  image encode (480x480x240, bf16) + latent projection + 36-prompt scoring,
+  prompt latents cached once (ct_clip_tpu/inference/zero_shot.py).
+* `mfu`: `value` against the analytic FLOP count of the scored graph and
+  the chip's peak bf16 FLOP/s (CTCLIP_TPU_PEAK_TFLOPS, default 197 = v5e).
+* `device_pipeline_vol_per_s`: int16 (Z, Y, X) volumes already resident in
+  HBM -> on-device transpose -> fused preprocess (HU rescale/resample/crop)
+  -> batched encode + scoring.  The number a real PCIe-attached host is
+  bound by, and the honest proxy for the >=10 vol/s north-star on a box
+  whose host->device path is a slow tunnel.
+* `h2d_MBps_ceiling`: measured host->device bandwidth (timed device_put of
+  one bucketed int16 volume) — the hard ceiling on any e2e number here.
+* `e2e_pipeline_vol_per_s`: the full production pipeline on real files —
+  synthetic CT-RATE-shaped .nii.gz on a MIXED-Z corpus (150/300/450 slices
+  -> 3 preprocess bucket shapes, all precompiled at startup) -> reader
+  threads (gunzip+decode) -> host->device transfers from a dedicated
+  transfer pool -> per-sample fused preprocess dispatch -> batched
+  encode+score, synced once per epoch.  Decode, h2d and device compute
+  overlap; the epoch cost is ~max(stages), not their sum.
+* `train_step_ms`: one jitted production-shape train step (bf16, remat),
+  the counterpart of the reference's A100 batch-8 row (BASELINE.md;
+  scripts/CTCLIPTrainer.py:244-263).
 
-2. `e2e_pipeline_vol_per_s`: the full production pipeline measured on real
-   files — synthetic CT-RATE-shaped .nii.gz on disk -> VolumeLoader reader
-   threads (gunzip + decode, int16 kept end-to-end) -> async host->HBM
-   transfer -> fused device preprocess (HU rescale/resample/crop) -> batched
-   encode + scoring.  On this box the host->device path is an ~85 MB/s
-   tunnel, so e2e is transfer-bound (reported via `e2e_host_MBps`); on a
-   real TPU VM host (PCIe, many cores) the same pipeline is device-bound.
-   Skip with CTCLIP_BENCH_E2E=0; corpus is cached under /tmp across runs.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", e2e keys}.
+Skip the e2e file benchmark with CTCLIP_BENCH_E2E=0, the train-step timing
+with CTCLIP_BENCH_TRAIN=0.  The corpus is cached under /tmp across runs.
 """
 from __future__ import annotations
 
@@ -27,15 +37,46 @@ import json
 import os
 import sys
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
 
 BASELINE_VOL_PER_S = 1.0 / 1.5
+PEAK_TFLOPS = float(os.environ.get("CTCLIP_TPU_PEAK_TFLOPS", "197"))
 
-# synthetic CT-RATE-shaped corpus: (Z, 512, 512) int16, stored = HU + 1024
-E2E_VOLUMES = 8
-E2E_Z = 300
+# synthetic CT-RATE-shaped corpus: (Z, 512, 512) int16, stored = HU + 1024.
+# Mixed Z like the real 100-600-slice corpus -> 3 preprocess bucket shapes.
+E2E_ZS = (150, 300, 450, 300, 150, 450, 300, 300)
+E2E_VOLUMES = len(E2E_ZS)
+
+
+def _sync(x) -> None:
+    """Host-copy sync of a tiny slice: through remote-tunnel backends
+    block_until_ready can return before execution finishes."""
+    np.asarray(x if getattr(x, "ndim", 1) == 0 else np.asarray(x).ravel()[:4])
+
+
+def flops_per_volume(cfg) -> float:
+    """Analytic FLOPs of the scored zero-shot graph per volume (matmul
+    2*M*N*K only; elementwise/VPU work excluded, so the MFU figure is the
+    honest MXU utilization bound)."""
+    v = cfg.ctvit
+    t = v.num_frames // v.temporal_patch_size
+    hw = v.image_size // v.patch_size
+    tokens = t * hw * hw
+    d, hd = v.dim, v.heads * v.dim_head
+    patch_dim = v.temporal_patch_size * v.patch_size ** 2
+    fl = 2 * tokens * patch_dim * d                      # patch projection
+    per_tok_proj = 2 * (d * hd + d * 2 * hd + hd * d)    # q, kv, out
+    n_sp, n_tp = hw * hw, t
+    attn = lambda n, rows: rows * (2 * 2 * n * hd)       # scores + pv
+    fl += v.spatial_depth * (tokens * per_tok_proj + attn(n_sp, tokens))
+    fl += v.temporal_depth * (tokens * per_tok_proj + attn(n_tp, tokens))
+    fl += 2 * tokens * d * v.codebook_size               # VQ cosine argmax
+    fl += 2 * cfg.dim_image * cfg.dim_latent             # latent projection
+    return float(fl)
 
 
 def _make_corpus(root) -> None:
@@ -44,7 +85,6 @@ def _make_corpus(root) -> None:
     background, a noisy soft-tissue cylinder (~45% body fraction) — gzip
     ratio and inflate cost land in the range of real CT-RATE files."""
     import csv
-    import os
 
     from ct_clip_tpu.config import PATHOLOGIES
     from ct_clip_tpu.data.nifti import write_volume
@@ -52,16 +92,17 @@ def _make_corpus(root) -> None:
     rng = np.random.RandomState(42)
     yy, xx = np.mgrid[0:512, 0:512].astype(np.float32)
     body = ((xx - 256) ** 2 / 230 ** 2 + (yy - 256) ** 2 / 180 ** 2) < 1.0
-    base = np.full((E2E_Z, 512, 512), 24, np.int16)  # air: HU -1000
-    tissue = (1050 + rng.randint(-60, 60, (E2E_Z, 512, 512))).astype(np.int16)
+    zmax = max(E2E_ZS)
+    base = np.full((zmax, 512, 512), 24, np.int16)  # air: HU -1000
+    tissue = (1050 + rng.randint(-60, 60, (zmax, 512, 512))).astype(np.int16)
     base[:, body] = tissue[:, body]
 
     rows_r, rows_m, rows_l = [], [], []
-    for i in range(E2E_VOLUMES):
+    for i, z in enumerate(E2E_ZS):
         name = f"bench_{i}_a_1.nii.gz"
         vdir = os.path.join(root, "data", f"bench_{i}", f"bench_{i}_a")
         os.makedirs(vdir, exist_ok=True)
-        vol = np.roll(base, rng.randint(0, E2E_Z), axis=0)
+        vol = np.roll(base[:z], rng.randint(0, z), axis=0)
         write_volume(os.path.join(vdir, name), vol.transpose(1, 2, 0),
                      pixdim=(0.75, 0.75, 1.0))
         rows_r.append({"VolumeName": name, "Findings_EN": "Lungs are clear.",
@@ -78,31 +119,64 @@ def _make_corpus(root) -> None:
             w.writeheader()
             w.writerows(rows)
     Path(os.path.join(root, ".complete")).write_text(
-        f"{E2E_VOLUMES} {E2E_Z}\n")
+        " ".join(map(str, E2E_ZS)) + "\n")
+
+
+def _device_stream(loader, depth: int = 4):
+    """Overlap host->device transfers with decode and device compute: a
+    dedicated 2-thread pool issues device_put while the main thread keeps
+    dispatching device work.  Yields (device_int16_vol, RawSample)."""
+    import jax
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    pending = deque()
+    try:
+        for s in loader:
+            pending.append(pool.submit(
+                lambda s=s: (jax.device_put(s.vol), s)))
+            if len(pending) >= depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+    finally:
+        pool.shutdown(wait=False)
+
+
+def _preprocess_int16_zyx(dv, s):
+    """(Z, Y, X) int16 on device -> (240, 480, 480) bf16 model input."""
+    import jax.numpy as jnp
+
+    from ct_clip_tpu.ops.resample import preprocess_volume
+
+    return preprocess_volume(
+        jnp.transpose(dv, (0, 2, 1)),  # (Z,Y,X) -> (Z,X,Y) on device
+        jnp.asarray(s.spacing), jnp.float32(s.slope),
+        jnp.float32(s.intercept),
+        true_sizes=jnp.asarray(s.true_sizes[[0, 2, 1]]),
+        clip_before_resample=True)
 
 
 def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
-    """Disk -> loader threads -> int16 h2d -> fused preprocess -> batched
-    encode+score, steady state (second epoch; files page-cached, all
-    compiles warm).  Mirrors the reference chain scripts/data.py:92-162 +
+    """Disk -> decode threads -> transfer threads (int16 h2d) -> per-sample
+    fused preprocess dispatch -> batched encode+score; one sync per epoch.
+    Steady state = second epoch (files page-cached, all bucket shapes
+    precompiled).  Mirrors the reference chain scripts/data.py:92-162 +
     zero_shot.py scoring, which the 1.5 s/vol baseline measures."""
-    import os
-
     import jax
     import jax.numpy as jnp
 
     from ct_clip_tpu.data import CTReportDatasetInfer
-    from ct_clip_tpu.data.loader import VolumeLoader
-    from ct_clip_tpu.ops.resample import preprocess_volume
+    from ct_clip_tpu.data.loader import VolumeLoader, bucket_shape
 
+    workers = max(2, min(16, os.cpu_count() or 2))
     root = os.environ.get("CTCLIP_BENCH_CORPUS", "/tmp/ctclip_bench_corpus")
     marker = Path(root) / ".complete"
     if not (marker.exists()
-            and marker.read_text().split() == [str(E2E_VOLUMES), str(E2E_Z)]):
+            and marker.read_text().split() == [str(z) for z in E2E_ZS]):
         t0 = time.time()
         _make_corpus(root)
-        print(f"[bench] corpus ({E2E_VOLUMES} vols) written in "
-              f"{time.time() - t0:.0f}s", file=sys.stderr)
+        print(f"[bench] corpus ({E2E_VOLUMES} vols, Z={sorted(set(E2E_ZS))})"
+              f" written in {time.time() - t0:.0f}s", file=sys.stderr)
 
     ds = CTReportDatasetInfer(os.path.join(root, "data"),
                               os.path.join(root, "reports.csv"),
@@ -110,54 +184,158 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
                               os.path.join(root, "labels.csv"))
     assert len(ds) == E2E_VOLUMES, f"corpus mismatch: {len(ds)}"
 
-    # decode-only throughput: loader threads, no device work.  zyx layout:
-    # the gunzipped buffer is used as a zero-copy (Z, Y, X) view and the
-    # in-plane transpose happens on device (saves a ~0.3 s host copy/vol).
+    mk_loader = lambda: VolumeLoader(ds, num_workers=workers,
+                                     prefetch=batch, raw_dtype=np.int16,
+                                     raw_layout="zyx")
+
+    # decode-only throughput: loader threads, no device work
     t0 = time.time()
-    n_bytes = 0
-    for s in VolumeLoader(ds, num_workers=2, prefetch=4,
-                          raw_dtype=np.int16, raw_layout="zyx"):
+    n_bytes, samples = 0, []
+    for s in mk_loader():
         n_bytes += s.vol.nbytes
+        samples.append(s)
     t_decode = time.time() - t0
     decode_vps = E2E_VOLUMES / t_decode
-    print(f"[bench] decode-only: {decode_vps:.2f} vol/s", file=sys.stderr)
+    print(f"[bench] decode-only: {decode_vps:.2f} vol/s "
+          f"({workers} workers)", file=sys.stderr)
 
-    def run_epoch() -> float:
-        loader = VolumeLoader(ds, num_workers=2, prefetch=4,
-                              raw_dtype=np.int16, raw_layout="zyx")
-        window, out = [], None
+    # h2d bandwidth ceiling: timed device_put of one bucketed volume
+    buf = samples[0].vol
+    dv = jax.device_put(buf)
+    _sync(dv[:1, :1, :4])
+    best = None
+    for _ in range(3):
         t0 = time.time()
-        for s in loader:
-            dv = jax.device_put(s.vol)  # async int16 host->HBM
-            pre = preprocess_volume(
-                jnp.transpose(dv, (0, 2, 1)),  # (Z,Y,X) -> (Z,X,Y) on device
-                jnp.asarray(s.spacing), jnp.float32(s.slope),
-                jnp.float32(s.intercept),
-                true_sizes=jnp.asarray(s.true_sizes[[0, 2, 1]]),
-                clip_before_resample=True)
-            window.append(pre)
+        dv = jax.device_put(buf)
+        _sync(dv[:1, :1, :4])
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    h2d_mbps = buf.nbytes / best / 1e6
+    print(f"[bench] h2d ceiling: {h2d_mbps:.0f} MB/s "
+          f"(caps e2e at {h2d_mbps * 1e6 / (n_bytes / E2E_VOLUMES):.2f} "
+          f"vol/s)", file=sys.stderr)
+
+    # precompile every preprocess bucket shape before the timed epochs
+    by_bucket = {}
+    for s in samples:
+        by_bucket.setdefault(tuple(s.vol.shape), s)
+    t0 = time.time()
+    for s in by_bucket.values():
+        pre = _preprocess_int16_zyx(jax.device_put(s.vol), s)
+        _sync(pre[:1, :1, :4])
+    n_buckets = len(by_bucket)
+    t_precompile = time.time() - t0
+    print(f"[bench] precompiled {n_buckets} preprocess bucket shapes "
+          f"in {t_precompile:.0f}s", file=sys.stderr)
+
+    # device-side pipeline: volumes already resident in HBM -> transpose +
+    # fused preprocess + encode + score (what a PCIe host is bound by)
+    resident = [(jax.device_put(s.vol), s) for s in samples]
+    for dv, _ in resident:
+        _sync(dv[:1, :1, :4])
+
+    def device_epoch() -> float:
+        outs, window = [], []
+        t0 = time.time()
+        for dv, s in resident:
+            window.append(_preprocess_int16_zyx(dv, s))
             if len(window) == batch:
                 video = jnp.stack(window)[..., None].astype(jnp.bfloat16)
-                out = score_jit(variables, video, prompts)
+                outs.append(score_jit(variables, video, prompts))
                 window = []
-        np.asarray(out)  # host sync (block_until_ready unreliable via tunnel)
+        for o in outs:
+            _sync(o)
         return time.time() - t0
 
-    t_warm = run_epoch()  # compiles the bucket-shape preprocess
-    print(f"[bench] e2e warm epoch (incl preprocess compile): {t_warm:.1f}s",
-          file=sys.stderr)
+    device_epoch()  # warm (score shape already compiled; first dispatch)
+    t_dev = min(device_epoch() for _ in range(3))
+    dev_vps = E2E_VOLUMES / t_dev
+    print(f"[bench] device pipeline: {dev_vps:.2f} vol/s", file=sys.stderr)
+    del resident
+
+    def run_epoch() -> float:
+        outs, window = [], []
+        t0 = time.time()
+        for dv, s in _device_stream(mk_loader(), depth=batch // 2):
+            window.append(_preprocess_int16_zyx(dv, s))
+            if len(window) == batch:
+                video = jnp.stack(window)[..., None].astype(jnp.bfloat16)
+                outs.append(score_jit(variables, video, prompts))
+                window = []
+        for o in outs:  # single sync point per epoch
+            _sync(o)
+        return time.time() - t0
+
+    t_warm = run_epoch()
+    print(f"[bench] e2e warm epoch: {t_warm:.1f}s", file=sys.stderr)
     t_run = min(run_epoch() for _ in range(2))
     e2e_vps = E2E_VOLUMES / t_run
     mbps = n_bytes / t_run / 1e6
     print(f"[bench] e2e: {E2E_VOLUMES} vols in {t_run:.1f}s = "
-          f"{e2e_vps:.2f} vol/s ({mbps:.0f} MB/s host->device)",
+          f"{e2e_vps:.2f} vol/s ({mbps:.0f} MB/s host->device; ideal "
+          f"overlap = {max(t_decode, n_bytes / (h2d_mbps * 1e6)):.1f}s)",
           file=sys.stderr)
     return {
         "e2e_pipeline_vol_per_s": round(e2e_vps, 3),
         "e2e_vs_baseline": round(e2e_vps / BASELINE_VOL_PER_S, 2),
         "e2e_host_MBps": round(mbps, 1),
         "decode_vol_per_s": round(decode_vps, 2),
+        "h2d_MBps_ceiling": round(h2d_mbps, 1),
+        "device_pipeline_vol_per_s": round(dev_vps, 2),
+        "preprocess_buckets_compiled": n_buckets,
     }
+
+
+def bench_train_step(cfg, batch: int = 8) -> dict:
+    """One jitted production-shape train step (bf16 compute, remat towers,
+    Adam), timed min-of-rounds.  Counterpart of the reference's 'batch 8
+    fills an A100-80GB' row (BASELINE.md; CTCLIPTrainer.py:244-263)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ct_clip_tpu import TrainConfig
+    from ct_clip_tpu.models import CTCLIP
+    from ct_clip_tpu.train.optimizer import get_optimizer
+    from ct_clip_tpu.train.train_step import (create_train_state,
+                                              make_train_step)
+
+    tcfg = TrainConfig(batch_size=batch, remat=True, compute_dtype="bfloat16")
+    mcfg = cfg.replace(ctvit=cfg.ctvit.replace(remat=True),
+                       bert=cfg.bert.replace(remat=True),
+                       gather_negatives=False)
+    model = CTCLIP(mcfg, dtype=jnp.bfloat16)
+    frames, size = cfg.ctvit.num_frames, cfg.ctvit.image_size
+    rng = np.random.RandomState(1)
+
+    batch_data = {
+        "input_ids": jnp.asarray(
+            rng.randint(0, cfg.bert.vocab_size, (batch, 512)), jnp.int32),
+        "attention_mask": jnp.ones((batch, 512), jnp.int32),
+        "video": jnp.asarray(rng.rand(batch, frames, size, size, 1) * 2 - 1,
+                             jnp.bfloat16),
+    }
+    tx = get_optimizer(lr=tcfg.lr, wd=tcfg.wd,
+                       max_grad_norm=tcfg.max_grad_norm)
+    t0 = time.time()
+    state = create_train_state(model, jax.random.PRNGKey(0), batch_data, tx)
+    step_fn = jax.jit(make_train_step(model, tx, tcfg), donate_argnums=(0,))
+    state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(1))
+    _sync(metrics["loss"])
+    print(f"[bench] train step compile+first: {time.time() - t0:.0f}s "
+          f"(batch {batch}, remat, bf16)", file=sys.stderr)
+
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(3):
+            state, metrics = step_fn(state, batch_data,
+                                     jax.random.PRNGKey(2))
+        _sync(metrics["loss"])
+        dt = (time.time() - t0) / 3
+        best = dt if best is None else min(best, dt)
+    print(f"[bench] train step: {best * 1e3:.0f} ms (batch {batch})",
+          file=sys.stderr)
+    return {"train_step_ms": round(best * 1e3, 1), "train_batch": batch}
 
 
 def main() -> None:
@@ -178,7 +356,8 @@ def main() -> None:
     frames, size = cfg.ctvit.num_frames, cfg.ctvit.image_size
     rng = np.random.RandomState(0)
 
-    print(f"[bench] init production CTCLIP on {jax.devices()[0]}", file=sys.stderr)
+    print(f"[bench] init production CTCLIP on {jax.devices()[0]}",
+          file=sys.stderr)
     ids = jnp.zeros((2, 512), jnp.int32)
     mask = jnp.ones((2, 512), jnp.int32)
     small_video = jnp.zeros((1, frames, size, size, 1), jnp.bfloat16)
@@ -193,19 +372,27 @@ def main() -> None:
     prompt_ids = jnp.asarray(rng.randint(0, cfg.bert.vocab_size, (36, 512)),
                              jnp.int32)
     prompt_mask = jnp.ones((36, 512), jnp.int32)
-    encode_text = jax.jit(lambda v, i, m: model.apply(v, i, m,
-                                                      method=CTCLIP.encode_text))
+    encode_text = jax.jit(lambda v, i, m: model.apply(
+        v, i, m, method=CTCLIP.encode_text))
     t0 = time.time()
     prompts = encode_text(variables, prompt_ids, prompt_mask)
     jax.block_until_ready(prompts)
-    t_text = time.time() - t0
-    print(f"[bench] 36-prompt encode (one-time): {t_text:.2f}s", file=sys.stderr)
+    print(f"[bench] 36-prompt encode (one-time): {time.time() - t0:.2f}s",
+          file=sys.stderr)
     prompts = prompts.reshape(18, 2, -1)
 
     temp = jnp.exp(variables["params"]["temperature"])
 
+    # CPB bias table: pure function of params, computed once per weight load
+    # (inference/zero_shot.py does the same)
+    spatial_bias = jax.jit(lambda v: model.apply(
+        v, method=lambda m: m.visual_transformer.compute_spatial_bias()))(
+        variables)
+    jax.block_until_ready(spatial_bias)
+
     def score(variables, video, prompts):
-        latents, _ = model.apply(variables, video, method=CTCLIP.encode_image)
+        latents, _ = model.apply(variables, video, spatial_bias=spatial_bias,
+                                 method=CTCLIP.encode_image)
         logits = jnp.einsum("bd,pkd->bpk", latents, prompts) * temp
         return jax.nn.softmax(logits, axis=-1)[..., 0]
 
@@ -215,9 +402,6 @@ def main() -> None:
         rng.rand(batch, frames, size, size, 1).astype(np.float32) * 2 - 1,
         jnp.bfloat16)
 
-    # warmup / compile.  Sync via a host copy: through remote-tunnel
-    # backends block_until_ready can return before execution finishes,
-    # which would inflate the figure.
     t0 = time.time()
     out = score_jit(variables, video, prompts)
     np.asarray(out)
@@ -235,16 +419,28 @@ def main() -> None:
     dt = best
 
     vol_per_s = batch * iters / dt
-    print(f"[bench] {batch * iters} volumes in {dt:.3f}s", file=sys.stderr)
+    gflop = flops_per_volume(cfg) / 1e9
+    mfu = vol_per_s * gflop / (PEAK_TFLOPS * 1e3)
+    print(f"[bench] {batch * iters} volumes in {dt:.3f}s "
+          f"({gflop:.0f} GFLOP/vol -> {mfu * 100:.1f}% MFU)",
+          file=sys.stderr)
 
     record = {
         "metric": "zero_shot_throughput",
         "value": round(vol_per_s, 2),
         "unit": "volumes/s/chip",
         "vs_baseline": round(vol_per_s / BASELINE_VOL_PER_S, 2),
+        "mfu": round(mfu, 4),
+        "gflop_per_volume": round(gflop, 1),
     }
     if os.environ.get("CTCLIP_BENCH_E2E", "1") != "0":
         record.update(bench_e2e(score_jit, variables, prompts, batch))
+    if os.environ.get("CTCLIP_BENCH_TRAIN", "1") != "0":
+        try:
+            record.update(bench_train_step(cfg))
+        except Exception as e:  # noqa: BLE001 — OOM on small chips
+            print(f"[bench] train step skipped: {e}", file=sys.stderr)
+            record["train_step_ms"] = None
     print(json.dumps(record))
 
 

@@ -61,6 +61,16 @@ class ZeroShotClassifier:
         self.max_text_len = max_text_len
         self.mesh = mesh
         self._prompt_latents = None
+        self._spatial_bias = None
+
+        # the CPB score-bias table is a pure function of the CPB MLP params:
+        # compute it once per weight load instead of inside every scored
+        # step (models/ctvit.py compute_spatial_bias)
+        self._bias_fn = None
+        if model.image_encoder is None:
+            self._bias_fn = jax.jit(lambda vars_: model.apply(
+                vars_, method=lambda m: m.visual_transformer
+                .compute_spatial_bias()))
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -68,9 +78,10 @@ class ZeroShotClassifier:
             batch_sharding = NamedSharding(mesh, P(data_axis))
             repl = NamedSharding(mesh, P())
 
-            def encode_image(vars_, video):
+            def encode_image(vars_, video, bias):
                 video = jax.lax.with_sharding_constraint(video, batch_sharding)
-                return model.apply(vars_, video, method=CTCLIP.encode_image)
+                return model.apply(vars_, video, spatial_bias=bias,
+                                   method=CTCLIP.encode_image)
 
             self._encode_image = jax.jit(encode_image,
                                          out_shardings=(batch_sharding, None))
@@ -80,8 +91,9 @@ class ZeroShotClassifier:
                 out_shardings=repl)
         else:
             self._encode_image = jax.jit(
-                lambda vars_, video: model.apply(vars_, video,
-                                                 method=CTCLIP.encode_image))
+                lambda vars_, video, bias: model.apply(
+                    vars_, video, spatial_bias=bias,
+                    method=CTCLIP.encode_image))
             self._encode_text = jax.jit(
                 lambda vars_, ids, mask: model.apply(vars_, ids, mask,
                                                      method=CTCLIP.encode_text))
@@ -92,6 +104,7 @@ class ZeroShotClassifier:
         argument, so only the cached prompt latents need recomputing."""
         self.variables = variables
         self._prompt_latents = None
+        self._spatial_bias = None
 
     def prompt_latents(self) -> jnp.ndarray:
         """(num_pathologies, 2, dim_latent), computed once."""
@@ -105,10 +118,16 @@ class ZeroShotClassifier:
             self._prompt_latents = lat.reshape(len(self.pathologies), 2, -1)
         return self._prompt_latents
 
+    def spatial_bias(self):
+        if self._bias_fn is not None and self._spatial_bias is None:
+            self._spatial_bias = self._bias_fn(self.variables)
+        return self._spatial_bias
+
     def score_batch(self, videos: jnp.ndarray) -> np.ndarray:
         """videos: (B, f, H, W, c) preprocessed volumes ->
         (B, num_pathologies) P(present)."""
-        image_latents, _ = self._encode_image(self.variables, videos)
+        image_latents, _ = self._encode_image(self.variables, videos,
+                                              self.spatial_bias())
         return np.asarray(self.scores_from_latents(image_latents))
 
     def scores_from_latents(self, image_latents: jnp.ndarray) -> jnp.ndarray:

@@ -211,12 +211,13 @@ class CTCLIP(nn.Module):
                                             deterministic=deterministic)
         return enc_text
 
-    def _image_tokens(self, video, train, deterministic):
+    def _image_tokens(self, video, train, deterministic, spatial_bias=None):
         if self.image_encoder is not None:
             return self.image_encoder(video, deterministic=deterministic)
         return self.visual_transformer(video, return_encoded_tokens=True,
                                        train=train,
-                                       deterministic=deterministic)
+                                       deterministic=deterministic,
+                                       spatial_bias=spatial_bias)
 
     def encode_text(self, input_ids, attention_mask, deterministic=True,
                     return_encodings=False):
@@ -227,8 +228,12 @@ class CTCLIP(nn.Module):
         return l2norm(self.to_text_latent(text_embeds))
 
     def encode_image(self, video, train=False, deterministic=True,
-                     return_encodings=False):
-        enc_image = self._image_tokens(video, train, deterministic)
+                     return_encodings=False, spatial_bias=None):
+        """`spatial_bias`: optional precomputed CPB table
+        (CTViT.compute_spatial_bias) — hoists the param-only bias MLP out
+        of repeated inference steps."""
+        enc_image = self._image_tokens(video, train, deterministic,
+                                       spatial_bias)
         if return_encodings:
             return enc_image
         pooled = jnp.mean(enc_image, axis=1)  # temporal mean (ct_clip.py:724)

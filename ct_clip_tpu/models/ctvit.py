@@ -166,7 +166,8 @@ class CTViT(nn.Module):
     # ----------------------------------------------------------------- main
     def __call__(self, video: jnp.ndarray, *, return_encoded_tokens: bool = False,
                  return_only_codebook_ids: bool = False, train: bool = False,
-                 return_recons: bool = False, deterministic: bool = True):
+                 return_recons: bool = False, deterministic: bool = True,
+                 spatial_bias: Optional[jnp.ndarray] = None):
         """Default (like the reference forward, ctvit.py:353-525) runs the
         full pipeline: encode -> VQ -> decode when a decoder exists (init
         with the default path to create decoder params), else returns
@@ -176,7 +177,7 @@ class CTViT(nn.Module):
         assert video.shape[2] == cfg.image_size and video.shape[3] == cfg.image_size
 
         tokens = self.embed_patches(video.astype(self.dtype), train=train)
-        tokens = self.encode(tokens, deterministic)
+        tokens = self.encode(tokens, deterministic, spatial_bias)
         b, t, h, w, d = tokens.shape
 
         flat = tokens.reshape(b, t * h * w, d)
@@ -197,13 +198,24 @@ class CTViT(nn.Module):
             return recon, indices.reshape(b, t, h, w), commit_loss
         return recon
 
-    def encode(self, tokens: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def compute_spatial_bias(self) -> jnp.ndarray:
+        """The (heads, h*w, h*w) continuous-position-bias table.  A pure
+        function of the CPB MLP params — inference callers can compute it
+        once per weight load and pass it to encode/__call__ via
+        `spatial_bias=`, hoisting the MLP + the offsets->pairs gather out
+        of every scored step (~1 ms/step at production shape)."""
+        hw = self.config.image_size // self.config.patch_size
+        return self.spatial_rel_pos_bias(hw, hw)
+
+    def encode(self, tokens: jnp.ndarray, deterministic: bool = True,
+               spatial_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Factorized encode (ctvit.py:282-307): spatial attention over each
         (h*w) plane, then temporal attention over each t column."""
         b, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
 
-        attn_bias = self.spatial_rel_pos_bias(h, w)
+        attn_bias = (spatial_bias if spatial_bias is not None
+                     else self.spatial_rel_pos_bias(h, w))
         x = tokens.reshape(b * t, h * w, d)
         x = self.enc_spatial_transformer(x, video_shape=video_shape,
                                          attn_bias=attn_bias,

@@ -160,6 +160,7 @@ class QKNormAttention(nn.Module):
     dropout: float = 0.0
     scale: float = 8.0
     dtype: jnp.dtype = jnp.float32
+    residual: bool = False  # fold the transformer's `attn(x) + x` in-kernel
 
     @nn.compact
     def __call__(self, x, mask=None, context=None, attn_bias=None,
@@ -202,7 +203,7 @@ class QKNormAttention(nn.Module):
                 wout = _DenseKernel(h * dh, self.dim, name="to_out")()
                 return fused_small_qknorm_attention(
                     x_pre, gamma, wq, wkv, q_scale, k_scale, wout,
-                    h, dh, self.scale, self.dtype)
+                    h, dh, self.scale, self.dtype, self.residual)
 
             # XLA fallback: project each head separately so the
             # (b, n, h, dh) -> (b, h, n, dh) relayout never materializes —
@@ -226,7 +227,8 @@ class QKNormAttention(nn.Module):
                 outs.append(jnp.einsum("bij,bjd->bid", attn, vh))
             out = jnp.concatenate(outs, axis=-1)
             wout = _DenseKernel(h * dh, self.dim, name="to_out")()
-            return out @ wout.astype(self.dtype)
+            out = out @ wout.astype(self.dtype)
+            return out + x_pre if self.residual else out
 
         from .pallas.spatial_attention import _plan as _spatial_plan
 
@@ -246,7 +248,7 @@ class QKNormAttention(nn.Module):
             wout = _DenseKernel(h * dh, self.dim, name="to_out")()
             return fused_spatial_qknorm_attention(
                 x_pre, gamma, wq, wkv, q_scale, k_scale, wout,
-                attn_bias, h, dh, self.scale, self.dtype)
+                attn_bias, h, dh, self.scale, self.dtype, self.residual)
 
         q = x.astype(self.dtype) @ wq.astype(self.dtype)
         kv = kv_input.astype(self.dtype) @ wkv.astype(self.dtype)
@@ -289,7 +291,8 @@ class QKNormAttention(nn.Module):
                     deterministic=deterministic)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, h * dh)
         wout = _DenseKernel(h * dh, self.dim, name="to_out")()
-        return out @ wout.astype(self.dtype)
+        out = out @ wout.astype(self.dtype)
+        return out + x_pre if self.residual else out
 
 
 def apply_rotary(freqs, t):
@@ -438,24 +441,26 @@ class MaskgitTransformer(nn.Module):
                               name=f"layers_{layer}_peg")(grid)
                 x = peg_out.reshape(x.shape)
 
+            # residual adds are folded into the sublayer kernels (saves a
+            # full HBM read+write of the stream per sublayer on TPU)
             x = Attn(
                 self.dim, dim_head=self.dim_head, heads=self.heads,
                 causal=self.causal, dropout=self.attn_dropout, dtype=self.dtype,
-                name=f"layers_{layer}_attn")(
-                    x, self_attn_mask, None, attn_bias, deterministic) + x
+                residual=True, name=f"layers_{layer}_attn")(
+                    x, self_attn_mask, None, attn_bias, deterministic)
 
             if self.has_cross_attn and context is not None:
                 x = Attn(
                     self.dim, dim_context=self.dim_context, dim_head=self.dim_head,
                     heads=self.heads, causal=False, num_null_kv=self.attn_num_null_kv,
                     dropout=self.attn_dropout, dtype=self.dtype,
-                    name=f"layers_{layer}_cross_attn")(
+                    residual=True, name=f"layers_{layer}_cross_attn")(
                         x, cross_attn_context_mask, context, None,
-                        deterministic) + x
+                        deterministic)
 
             x = FF(self.dim, mult=self.ff_mult, dropout=self.ff_dropout,
-                   dtype=self.dtype, name=f"layers_{layer}_ff")(
-                       x, deterministic) + x
+                   dtype=self.dtype, residual=True,
+                   name=f"layers_{layer}_ff")(x, deterministic)
 
         return GammaLayerNorm(self.dim, name="norm_out")(x)
 

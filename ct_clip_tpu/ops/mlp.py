@@ -61,6 +61,7 @@ class MaskgitFeedForward(nn.Module):
     mult: float = 4.0
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    residual: bool = False  # fold the transformer's `ff(x) + x` in-kernel
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -80,16 +81,18 @@ class MaskgitFeedForward(nn.Module):
                 scale, bias,
                 wi[:, :inner].astype(self.dtype),
                 wi[:, inner:].astype(self.dtype),
-                wo.astype(self.dtype))
+                wo.astype(self.dtype), 1e-5, self.residual)
             return out.reshape(*lead, self.dim)
 
         from .norms import layer_norm
 
+        x_in = x
         x = layer_norm(x, scale, bias)
         x = jnp.dot(x.astype(self.dtype), wi.astype(self.dtype))
         x = geglu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return jnp.dot(x.astype(self.dtype), wo.astype(self.dtype))
+        out = jnp.dot(x.astype(self.dtype), wo.astype(self.dtype))
+        return out + x_in if self.residual else out
 
 
 class ClipFeedForward(nn.Module):

@@ -46,7 +46,7 @@ def _gelu_exact(g):
     return g32 * 0.5 * (1.0 + _erf_as(g32 * (2.0 ** -0.5)))
 
 
-def _xla_ff(x, scale, bias, wia, wig, wo, eps):
+def _xla_ff(x, scale, bias, wia, wig, wo, eps, residual=False):
     xn = layer_norm(x, scale, bias, eps)
     compute_dtype = wia.dtype
     a = jnp.dot(xn.astype(compute_dtype), wia,
@@ -55,7 +55,10 @@ def _xla_ff(x, scale, bias, wia, wig, wo, eps):
                 preferred_element_type=jnp.float32)
     # true erf here; the A&S form is only for Mosaic (no erf primitive)
     act = (a * jax.nn.gelu(g, approximate=False)).astype(compute_dtype)
-    return jnp.dot(act, wo, preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.dot(act, wo, preferred_element_type=jnp.float32)
+    if residual:  # fold the transformer's `ff(x) + x` (one rounding)
+        out = out + x.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _pick_m(n_rows, d, inner, itemsize):
@@ -83,7 +86,8 @@ def _plan(x_shape, d, inner, itemsize):
         return None
 
 
-def _kernel(x_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref, o_ref, *, eps):
+def _kernel(x_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref, o_ref, *, eps,
+            residual):
     xn = layer_norm(x_ref[...], s_ref[...], b_ref[...], eps)
     xn = xn.astype(wa_ref.dtype)
     a = jnp.dot(xn, wa_ref[...], preferred_element_type=jnp.float32,
@@ -91,13 +95,14 @@ def _kernel(x_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref, o_ref, *, eps):
     g = jnp.dot(xn, wg_ref[...], preferred_element_type=jnp.float32,
                 precision=dot_precision(xn, wg_ref))
     act = (a * _gelu_exact(g)).astype(wo_ref.dtype)
-    o_ref[...] = jnp.dot(act, wo_ref[...],
-                         preferred_element_type=jnp.float32,
-                         precision=dot_precision(act, wo_ref)
-                         ).astype(o_ref.dtype)
+    out = jnp.dot(act, wo_ref[...], preferred_element_type=jnp.float32,
+                  precision=dot_precision(act, wo_ref))
+    if residual:  # x block already in VMEM: the fold saves a full extra
+        out = out + x_ref[...].astype(jnp.float32)  # HBM read+write per call
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _pallas_ff(x, scale, bias, wia, wig, wo, eps, m):
+def _pallas_ff(x, scale, bias, wia, wig, wo, eps, m, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -107,7 +112,8 @@ def _pallas_ff(x, scale, bias, wia, wig, wo, eps, m):
     sv = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                     memory_space=pltpu.VMEM)
     return pallas_call(
-        functools.partial(_kernel, eps=eps), grid=(n_rows // m,),
+        functools.partial(_kernel, eps=eps, residual=residual),
+        grid=(n_rows // m,),
         in_specs=[sx, sv((d,)), sv((d,)), sv((d, inner)), sv((d, inner)),
                   sv((inner, d))],
         out_specs=sx,
@@ -115,17 +121,21 @@ def _pallas_ff(x, scale, bias, wia, wig, wo, eps, m):
             x, scale, bias, wia, wig, wo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_geglu_ff(x, scale, bias, wia, wig, wo, eps=1e-5):
-    """geglu(LN(x; scale, bias) @ [wia|wig]) @ wo for 2-D x (rows, d)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_geglu_ff(x, scale, bias, wia, wig, wo, eps=1e-5,
+                   residual: bool = False):
+    """geglu(LN(x; scale, bias) @ [wia|wig]) @ wo for 2-D x (rows, d).
+    residual=True returns x + ff(x) in the same pass (requires wo output
+    dim == d); the sum accumulates in f32 and rounds once."""
     m = _plan(x.shape, x.shape[1], wia.shape[1], wia.dtype.itemsize)
     if m is not None:
-        return _pallas_ff(x, scale, bias, wia, wig, wo, eps, m)
-    return _xla_ff(x, scale, bias, wia, wig, wo, eps)
+        return _pallas_ff(x, scale, bias, wia, wig, wo, eps, m, residual)
+    return _xla_ff(x, scale, bias, wia, wig, wo, eps, residual)
 
 
 def _bwd_kernel(x_ref, do_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref,
-                dx_ref, dwa_ref, dwg_ref, dwo_ref, ds_ref, db_ref, *, eps):
+                dx_ref, dwa_ref, dwg_ref, dwo_ref, ds_ref, db_ref, *, eps,
+                residual):
     """Flash-style FF backward: recompute the forward for this row block in
     VMEM, emit dx per block, accumulate the weight grads across the
     sequential grid steps.  Matmuls take bf16 inputs with f32 accumulation;
@@ -172,7 +182,10 @@ def _bwd_kernel(x_ref, do_ref, s_ref, b_ref, wa_ref, wg_ref, wo_ref,
     dxhat = dxn * sc
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    if residual:  # d(x + ff(x))/dx identity term
+        dx = dx + do_ref[...].astype(jnp.float32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
 
     dwa = jax.lax.dot_general(xn, da, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
@@ -222,7 +235,7 @@ def _pick_m_bwd(n_rows, d, inner, itemsize):
     return None
 
 
-def _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, eps, m):
+def _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, eps, m, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -240,7 +253,8 @@ def _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, eps, m):
         jax.ShapeDtypeStruct((1, d), jnp.float32),       # dbias
     ]
     dx, dwa, dwg, dwo, ds, db = pallas_call(
-        functools.partial(_bwd_kernel, eps=eps), grid=(n_rows // m,),
+        functools.partial(_bwd_kernel, eps=eps, residual=residual),
+        grid=(n_rows // m,),
         in_specs=[sx, sx, sv((1, d)), sv((1, d)), sv((d, inner)),
                   sv((d, inner)), sv((inner, d))],
         out_specs=[sx] + [sv(o.shape) for o in outs[1:]],
@@ -252,20 +266,20 @@ def _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, eps, m):
             dwa.astype(wia.dtype), dwg.astype(wig.dtype), dwo.astype(wo.dtype))
 
 
-def _ff_fwd(x, scale, bias, wia, wig, wo, eps):
-    return fused_geglu_ff(x, scale, bias, wia, wig, wo, eps), \
+def _ff_fwd(x, scale, bias, wia, wig, wo, eps, residual):
+    return fused_geglu_ff(x, scale, bias, wia, wig, wo, eps, residual), \
         (x, scale, bias, wia, wig, wo)
 
 
-def _ff_bwd(eps, res, g):
+def _ff_bwd(eps, residual, res, g):
     x, scale, bias, wia, wig, wo = res
     if _plan(x.shape, x.shape[1], wia.shape[1], wia.dtype.itemsize) is not None:
         m = _pick_m_bwd(x.shape[0], x.shape[1], wia.shape[1],
                         wia.dtype.itemsize)
         if m is not None:
             return _pallas_ff_bwd(x, scale, bias, wia, wig, wo,
-                                  g.astype(x.dtype), eps, m)
-    _, vjp = jax.vjp(lambda *a: _xla_ff(*a, eps), *res)
+                                  g.astype(x.dtype), eps, m, residual)
+    _, vjp = jax.vjp(lambda *a: _xla_ff(*a, eps, residual), *res)
     return vjp(g)
 
 

@@ -54,7 +54,7 @@ _EPS_L2 = 1e-12
 
 
 def _xla_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, *,
-                      heads, dim_head, scale, dtype):
+                      heads, dim_head, scale, dtype, residual=False):
     """XLA reference; same math as the Pallas kernel (and as the per-head
     loop in ops/attention.py, batched over heads)."""
     from ..norms import l2norm, layer_norm
@@ -73,12 +73,15 @@ def _xla_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, *,
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhij,bjhd->bihd", attn, v)
     out = out.reshape(*x.shape[:-1], h * dh)
-    return out @ wout.astype(dtype)
+    out = jnp.dot(out, wout.astype(dtype), preferred_element_type=jnp.float32)
+    if residual:  # fold the transformer's `attn(x) + x` (one rounding)
+        out = out + x.astype(jnp.float32)
+    return out.astype(dtype)
 
 
 def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
             mask_ref, ones_ref, o_ref, *, g, n, heads, dim_head,
-            scale, dtype):
+            scale, dtype, residual):
     h, dh = heads, dim_head
     r = g * n
     dim = x_ref.shape[-1]
@@ -141,6 +144,8 @@ def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
         outs.append((pv / denom).astype(dtype))
     merged = jnp.concatenate(outs, axis=-1)
     out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
+    if residual:  # x block already in VMEM (xf): saves the XLA `+ x` pass
+        out = out + xf
     o_ref[...] = out.astype(o_ref.dtype).reshape(g, n, o_ref.shape[-1])
 
 
@@ -172,7 +177,7 @@ def _plan(b, n, dim, heads, dim_head) -> Optional[int]:
 
 
 def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
-                         heads, dim_head, scale, dtype):
+                         heads, dim_head, scale, dtype, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -200,7 +205,7 @@ def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
                       memory_space=pltpu.VMEM)
     return pallas_call(
         functools.partial(_kernel, g=g, n=n, heads=heads, dim_head=dim_head,
-                          scale=scale, dtype=cdt),
+                          scale=scale, dtype=cdt, residual=residual),
         mm_precision=mm_precision_for(cdt),
         grid=(b // g,),
         in_specs=[sx] + [full(w) for w in weights],
@@ -211,7 +216,7 @@ def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
 def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
                 wout_ref, mask_ref, ones_ref,
                 dx_ref, dwq_ref, dwkv_ref, dwout_ref, dgamma_ref, dqs_ref,
-                dks_ref, *, g, n, heads, dim_head, dtype):
+                dks_ref, *, g, n, heads, dim_head, dtype, residual):
     """Full sublayer backward: recompute the forward in VMEM (flash-style),
     emit dx per block and accumulate the weight grads across the sequential
     grid steps.  Math follows the custom-VJP chain of _xla_small_qknorm;
@@ -324,7 +329,10 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
 
-    dx_ref[...] = (dx_ln + dx_kv).astype(dx_ref.dtype).reshape(g, n, dim)
+    dx = dx_ln + dx_kv
+    if residual:  # d(x + attn(x))/dx identity term
+        dx = dx + do
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(g, n, dim)
 
     dob = do.astype(dtype)
     xnb = xn
@@ -384,7 +392,8 @@ def _plan_bwd(b, n, dim, heads, dim_head) -> Optional[int]:
 
 
 def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
-                             g, *, heads, dim_head, scale, dtype):
+                             g, *, heads, dim_head, scale, dtype,
+                             residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -420,7 +429,7 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
                      memory_space=pltpu.VMEM) for o in outs[1:]]
     dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t = pallas_call(
         functools.partial(_bwd_kernel, g=g, n=n, heads=heads,
-                          dim_head=dim_head, dtype=cdt),
+                          dim_head=dim_head, dtype=cdt, residual=residual),
         mm_precision=mm_precision_for(cdt),
         grid=(b // g,),
         in_specs=[sx, sx] + [full(w) for w in weights],
@@ -436,45 +445,49 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
             dwkv.astype(wkv.dtype), dqs, dks, dwout.astype(wout.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_small_qknorm_attention(x, gamma, wq, wkv, q_scale, k_scale, wout,
                                  heads: int, dim_head: int, scale: float,
-                                 dtype=jnp.bfloat16):
+                                 dtype=jnp.bfloat16, residual: bool = False):
     """Fused LN -> q/kv proj -> per-head QK-l2norm -> attention -> out proj
     for small sequence lengths (the CTViT temporal stage).
 
     x: (b, n, dim) PRE-norm residual stream (q uses LN(x), k/v use raw x —
     reference attention.py:139-143).  Returns (b, n, wout.shape[-1]) in the
-    compute dtype.  Residual add is the caller's.
-    """
+    compute dtype.  residual=True folds the transformer's `attn(x) + x`
+    into the same pass (f32 accumulate, one rounding)."""
     g = _plan(x.shape[0], x.shape[1], x.shape[2], heads, dim_head)
     if g is not None:
         return _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale,
                                     wout, g, heads=heads, dim_head=dim_head,
-                                    scale=scale, dtype=dtype)
+                                    scale=scale, dtype=dtype,
+                                    residual=residual)
     return _xla_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout,
                              heads=heads, dim_head=dim_head, scale=scale,
-                             dtype=dtype)
+                             dtype=dtype, residual=residual)
 
 
 def _fwd(x, gamma, wq, wkv, q_scale, k_scale, wout, heads, dim_head, scale,
-         dtype):
+         dtype, residual):
     out = fused_small_qknorm_attention(x, gamma, wq, wkv, q_scale, k_scale,
-                                       wout, heads, dim_head, scale, dtype)
+                                       wout, heads, dim_head, scale, dtype,
+                                       residual)
     return out, (x, gamma, wq, wkv, q_scale, k_scale, wout)
 
 
-def _bwd(heads, dim_head, scale, dtype, res, g):
+def _bwd(heads, dim_head, scale, dtype, residual, res, g):
     x, gamma, wq, wkv, q_scale, k_scale, wout = res
     gb = _plan_bwd(x.shape[0], x.shape[1], x.shape[2], heads, dim_head)
     if gb is not None:
         return _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale,
                                         wout, g.astype(x.dtype), gb,
                                         heads=heads, dim_head=dim_head,
-                                        scale=scale, dtype=dtype)
+                                        scale=scale, dtype=dtype,
+                                        residual=residual)
     _, vjp = jax.vjp(
         lambda *a: _xla_small_qknorm(*a, heads=heads, dim_head=dim_head,
-                                     scale=scale, dtype=dtype),
+                                     scale=scale, dtype=dtype,
+                                     residual=residual),
         x, gamma, wq, wkv, q_scale, k_scale, wout)
     return vjp(g)
 

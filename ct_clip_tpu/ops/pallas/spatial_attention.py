@@ -35,7 +35,7 @@ _VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _xla_spatial_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
-                        heads, dim_head, scale, dtype):
+                        heads, dim_head, scale, dtype, residual=False):
     """XLA reference; same math as the kernel (and as ops/attention.py's
     large-sequence path for this configuration)."""
     from ..norms import l2norm, layer_norm
@@ -55,7 +55,10 @@ def _xla_spatial_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhij,bjhd->bihd", attn, v)
     out = out.reshape(*x.shape[:-1], h * dh)
-    return out @ wout.astype(dtype)
+    out = jnp.dot(out, wout.astype(dtype), preferred_element_type=jnp.float32)
+    if residual:  # fold the transformer's `attn(x) + x` (one rounding)
+        out = out + x.astype(jnp.float32)
+    return out.astype(dtype)
 
 
 def _plan(b, n, dim, heads, dim_head) -> Optional[bool]:
@@ -106,7 +109,7 @@ def _project_qknorm(x, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, *,
 
 
 def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
-            bias_ref, o_ref, *, heads, dim_head, dtype):
+            bias_ref, o_ref, *, heads, dim_head, dtype, residual):
     h, dh = heads, dim_head
     x = x_ref[0]
     (xn, xc, qn, kn, v, *_rest) = _project_qknorm(
@@ -126,14 +129,16 @@ def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
                      preferred_element_type=jnp.float32)
         outs.append((pv / den).astype(dtype))
     merged = jnp.concatenate(outs, axis=-1)
-    o_ref[0] = jnp.dot(merged, wout_ref[...],
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
+    if residual:  # x slab already in VMEM: saves the XLA `+ x` pass
+        out = out + x.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
                 wout_ref, bias_ref,
                 dx_ref, dwq_ref, dwkv_ref, dwout_ref, dgamma_ref, dqs_ref,
-                dks_ref, dbias_ref, *, heads, dim_head, dtype):
+                dks_ref, dbias_ref, *, heads, dim_head, dtype, residual):
     from jax.experimental import pallas as pl
 
     h, dh = heads, dim_head
@@ -216,7 +221,10 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
-    dx_ref[0] = (dx_ln + dx_kv).astype(dx_ref.dtype)
+    dx = dx_ln + dx_kv
+    if residual:  # d(x + attn(x))/dx identity term
+        dx = dx + do
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
     dob = do.astype(dtype)
     dwq = jax.lax.dot_general(xn, dqb, (((0,), (0,)), ((), ())),
@@ -266,7 +274,7 @@ def _specs(b, n, dim, weights):
 
 
 def _pallas_spatial(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
-                    heads, dim_head, scale, dtype):
+                    heads, dim_head, scale, dtype, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -276,7 +284,7 @@ def _pallas_spatial(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
     sx, full = _specs(b, n, dim, weights)
     return pallas_call(
         functools.partial(_kernel, heads=heads, dim_head=dim_head,
-                          dtype=dtype),
+                          dtype=dtype, residual=residual),
         mm_precision=mm_precision_for(dtype),
         grid=(b,),
         in_specs=[sx] + full,
@@ -287,7 +295,7 @@ def _pallas_spatial(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
 
 
 def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
-                        *, heads, dim_head, scale, dtype):
+                        *, heads, dim_head, scale, dtype, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -311,7 +319,7 @@ def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
                      memory_space=pltpu.VMEM) for o in outs[1:]]
     dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t, dbias = pallas_call(
         functools.partial(_bwd_kernel, heads=heads, dim_head=dim_head,
-                          dtype=dtype),
+                          dtype=dtype, residual=residual),
         mm_precision=mm_precision_for(dtype),
         grid=(b,),
         in_specs=[sx, sx] + full,
@@ -327,42 +335,46 @@ def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
             dbias.astype(bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def fused_spatial_qknorm_attention(x, gamma, wq, wkv, q_scale, k_scale,
                                    wout, bias, heads: int, dim_head: int,
-                                   scale: float, dtype=jnp.bfloat16):
+                                   scale: float, dtype=jnp.bfloat16,
+                                   residual: bool = False):
     """Fused LN -> q/kv proj -> per-head QK-l2norm -> softmax(sim + bias_h)
     -> out proj for the CTViT spatial stage.
 
     x: (b, n, dim) PRE-norm residual stream; bias: (heads, n, n) f32 score
-    bias (continuous position bias).  Residual add is the caller's."""
+    bias (continuous position bias).  residual=True folds the transformer's
+    `attn(x) + x` into the same pass (f32 accumulate, one rounding)."""
     if _plan(x.shape[0], x.shape[1], x.shape[2], heads, dim_head):
         return _pallas_spatial(x, gamma, wq, wkv, q_scale, k_scale, wout,
                                bias, heads=heads, dim_head=dim_head,
-                               scale=scale, dtype=dtype)
+                               scale=scale, dtype=dtype, residual=residual)
     return _xla_spatial_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout,
                                bias, heads=heads, dim_head=dim_head,
-                               scale=scale, dtype=dtype)
+                               scale=scale, dtype=dtype, residual=residual)
 
 
 def _fwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, heads, dim_head,
-         scale, dtype):
+         scale, dtype, residual):
     out = fused_spatial_qknorm_attention(x, gamma, wq, wkv, q_scale,
                                          k_scale, wout, bias, heads,
-                                         dim_head, scale, dtype)
+                                         dim_head, scale, dtype, residual)
     return out, (x, gamma, wq, wkv, q_scale, k_scale, wout, bias)
 
 
-def _bwd(heads, dim_head, scale, dtype, res, g):
+def _bwd(heads, dim_head, scale, dtype, residual, res, g):
     x, gamma, wq, wkv, q_scale, k_scale, wout, bias = res
     if _plan(x.shape[0], x.shape[1], x.shape[2], heads, dim_head):
         return _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale,
                                    wout, bias, g.astype(x.dtype),
                                    heads=heads, dim_head=dim_head,
-                                   scale=scale, dtype=dtype)
+                                   scale=scale, dtype=dtype,
+                                   residual=residual)
     _, vjp = jax.vjp(
         lambda *a: _xla_spatial_qknorm(*a, heads=heads, dim_head=dim_head,
-                                       scale=scale, dtype=dtype),
+                                       scale=scale, dtype=dtype,
+                                       residual=residual),
         x, gamma, wq, wkv, q_scale, k_scale, wout, bias)
     return vjp(g)
 

@@ -339,3 +339,30 @@ def test_ctvit_config_threads_vq_exact_sim():
                            cfg.image_size, 1))
         bound = model.bind(model.init(jax.random.PRNGKey(0), video))
         assert bound.vq.exact_sim == flag
+
+
+def test_ctvit_precomputed_spatial_bias_matches_default():
+    """compute_spatial_bias() passed back via spatial_bias= must reproduce
+    the default path exactly (it is the same table, hoisted out of the
+    scored step — models/ctvit.py compute_spatial_bias)."""
+    from ct_clip_tpu import CTViTConfig
+    from ct_clip_tpu.models.ctvit import CTViT
+
+    cfg = CTViTConfig(dim=16, codebook_size=16, image_size=16, patch_size=8,
+                      temporal_patch_size=2, num_frames=4, spatial_depth=2,
+                      temporal_depth=1, dim_head=8, heads=2)
+    model = CTViT(cfg)
+    rng = np.random.RandomState(31)
+    video = jnp.asarray(rng.randn(2, cfg.num_frames, cfg.image_size,
+                                  cfg.image_size, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), video)
+
+    bias = model.apply(variables,
+                       method=lambda m: m.compute_spatial_bias())
+    hw = cfg.image_size // cfg.patch_size
+    assert bias.shape == (cfg.heads, hw * hw, hw * hw)
+
+    ref = model.apply(variables, video, return_encoded_tokens=True)
+    got = model.apply(variables, video, return_encoded_tokens=True,
+                      spatial_bias=bias)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

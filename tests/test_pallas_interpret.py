@@ -122,6 +122,18 @@ def test_ff_fwd_bwd_interpret():
     for a, b_ in zip(got_g, vjp(do)):
         assert _rel_err(a, b_) < 2e-2
 
+    # residual=True: x + ff(x) folded into the same pass
+    got_r = _pallas_ff(x, scale, bias, wia, wig, wo, 1e-5, m, residual=True)
+    ref_r = _xla_ff(x, scale, bias, wia, wig, wo, 1e-5, residual=True)
+    assert _rel_err(got_r, ref_r) < 2e-2
+    got_gr = _pallas_ff_bwd(x, scale, bias, wia, wig, wo, do, 1e-5, mb,
+                            residual=True)
+    # the identity term: residual dx == plain dx + do (f32 accumulate)
+    assert _rel_err(got_gr[0], got_g[0].astype(jnp.float32)
+                    + do.astype(jnp.float32)) < 2e-2
+    for a, b_ in zip(got_gr[1:], got_g[1:]):  # weight grads unchanged
+        assert _rel_err(a, b_) < 1e-6
+
 
 # ------------------------------------------------------ fused patch embed
 
@@ -214,6 +226,16 @@ def test_small_qknorm_fwd_bwd_interpret():
     for a, b_ in zip(got_g, vjp(do)):
         assert _rel_err(a, b_) < 1e-2
 
+    # residual=True: x + attn(x) folded into the same pass
+    got_r = _pallas_small_qknorm(*args, g, **kw, residual=True)
+    ref_r = _xla_small_qknorm(*args, **kw, residual=True)
+    assert _rel_err(got_r, ref_r) < 1e-3
+    assert _rel_err(got_r, got + x) < 1e-3
+    got_gr = _pallas_small_qknorm_bwd(*args, do, g, **kw, residual=True)
+    assert _rel_err(got_gr[0], got_g[0] + do) < 1e-3  # identity term
+    for a, b_ in zip(got_gr[1:], got_g[1:]):  # weight grads unchanged
+        assert _rel_err(a, b_) < 1e-6
+
 
 # ---------------------------------------------------- spatial attention
 
@@ -246,6 +268,16 @@ def test_spatial_qknorm_fwd_bwd_interpret():
     _, vjp = jax.vjp(lambda *a: _xla_spatial_qknorm(*a, **kw), *args)
     for a, b_ in zip(got_g, vjp(do)):
         assert _rel_err(a, b_) < 1e-2
+
+    # residual=True: x + attn(x) folded into the same pass
+    got_r = _pallas_spatial(*args, **kw, residual=True)
+    ref_r = _xla_spatial_qknorm(*args, **kw, residual=True)
+    assert _rel_err(got_r, ref_r) < 1e-3
+    assert _rel_err(got_r, got + x) < 1e-3
+    got_gr = _pallas_spatial_bwd(*args, do, **kw, residual=True)
+    assert _rel_err(got_gr[0], got_g[0] + do) < 1e-3  # identity term
+    for a, b_ in zip(got_gr[1:], got_g[1:]):  # weight grads unchanged
+        assert _rel_err(a, b_) < 1e-6
 
 
 # ------------------------------------------------------------ PEG stencil
