@@ -70,10 +70,13 @@ def flops_per_volume(cfg) -> float:
     patch_dim = v.temporal_patch_size * v.patch_size ** 2
     fl = 2 * tokens * patch_dim * d                      # patch projection
     per_tok_proj = 2 * (d * hd + d * 2 * hd + hd * d)    # q, kv, out
+    inner = int(4 * (2.0 / 3.0) * d)                     # GEGLU (mult=4)
+    per_tok_ff = 2 * (d * 2 * inner + inner * d)         # wi (a|g) + wo
+    per_tok = per_tok_proj + per_tok_ff
     n_sp, n_tp = hw * hw, t
     attn = lambda n, rows: rows * (2 * 2 * n * hd)       # scores + pv
-    fl += v.spatial_depth * (tokens * per_tok_proj + attn(n_sp, tokens))
-    fl += v.temporal_depth * (tokens * per_tok_proj + attn(n_tp, tokens))
+    fl += v.spatial_depth * (tokens * per_tok + attn(n_sp, tokens))
+    fl += v.temporal_depth * (tokens * per_tok + attn(n_tp, tokens))
     fl += 2 * tokens * d * v.codebook_size               # VQ cosine argmax
     fl += 2 * cfg.dim_image * cfg.dim_latent             # latent projection
     return float(fl)
