@@ -8,14 +8,22 @@ layout copies than on the conv itself (profiled: ~0.97 ms/call conv fusions
 + ~0.66 ms/call copies + ~1 ms/call weight-grad reduce fusions across the 8
 instances = ~20 ms/step).
 
-Here the conv is 27 shifted multiply-accumulates over a zero-padded VMEM
-block in the token-native (..., w, c) layout — channels on lanes, no layout
-change ever.  Blocks are channel slices (c_b = 128 lanes) of one batch item;
-the backward computes dx (correlation with the flipped kernel), accumulates
-dw (27, c) and dbias across sequential grid steps, and recomputes nothing
-(the stencil needs only x and dout).  Falls back to
-`lax.conv_general_dilated` (identical numerics, what flax nn.Conv emits)
-off-TPU or for non-conforming shapes.
+Forward: on TPU the grouped `lax.conv_general_dilated` (bf16 taps, f32
+accumulation, bias + residual fused by XLA) measures 1.87 ms at production
+shape vs 4.5 ms for a hand Pallas stencil and 2.7 ms for 27 pointwise
+shifted multiply-adds (tools/bench_peg.py) — XLA's depthwise lowering wins,
+so the forward uses it under a custom_vjp.
+
+Backward: a Pallas kernel.  Differentiating the grouped conv hits a GSPMD
+partitioning bug (kernel-gradient silently all-zero when the batch dim is
+sharded over a mesh axis — found by the tensor-parallel equivalence test),
+and XLA's own weight-grad fusions were the slowest part of the original
+lowering.  The kernel computes dx (correlation with the flipped kernel) as
+27 shifted multiply-accumulates over a zero-padded VMEM block in the
+token-native (..., w, c) layout, and accumulates dw (27, c) and dbias
+across sequential grid steps; it recomputes nothing (the stencil needs
+only x and dout).  Off-TPU both directions fall back to the pointwise
+27-tap form (identical numerics to flax nn.Conv, trivially partitionable).
 """
 from __future__ import annotations
 
@@ -61,6 +69,22 @@ def xla_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
     return (out + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def lax_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
+    """Grouped-conv forward: bf16 taps, f32 accumulation, one rounding —
+    the same recipe as the pointwise form (maxdiff at production shape:
+    one bf16 ulp).  Forward only; the custom_vjp below never
+    differentiates it (see module docstring for why)."""
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1, 1), _pads(causal),
+        dimension_numbers=dn, feature_group_count=x.shape[-1],
+        preferred_element_type=jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 def _plan(shape, dtype) -> Optional[int]:
     b, t, h, w, c = shape
     if c % 128 or dtype != jnp.bfloat16:
@@ -68,11 +92,11 @@ def _plan(shape, dtype) -> Optional[int]:
     if w % 8:
         return None
     cb = 128
-    # Peak live set of the larger (backward) kernel, one phase at a time
-    # (Mosaic reuses dead buffers across the dx and dw phases): the f32
+    # Peak live set of the backward kernel, one phase at a time (Mosaic
+    # reuses dead buffers across the dx and dw phases): the f32
     # zero-padded block (xp/dop), one hoisted f32 kx-slice (xs/dos), two
     # full-size f32 arrays (do + dx accumulator / do + prod temp), and the
-    # three bf16 in/out blocks.  The forward's live set is strictly smaller.
+    # three bf16 in/out blocks.
     thw = t * h * w
     need = (t + 2) * (h + 2) * (w + 2) * cb * 4 \
         + (t + 2) * (h + 2) * w * cb * 4 \
@@ -88,24 +112,6 @@ def _plan(shape, dtype) -> Optional[int]:
 def _taps(causal):
     (pt0, _), (ph0, _), (pw0, _) = _pads(causal)
     return pt0, ph0, pw0
-
-
-def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, causal, residual):
-    t, h, w, cb = x_ref.shape[1:]
-    pt0, ph0, pw0 = _taps(causal)
-    x = x_ref[0].astype(jnp.float32)
-    xp = jnp.pad(x, ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
-    acc = x if residual else jnp.zeros((t, h, w, cb), jnp.float32)
-    # kx shifts along w — the second-minor (sublane) dim — so each misaligned
-    # slice costs a vector shift of the whole block; hoist it so the shift
-    # happens 3x instead of 27x (kz/ky slice only leading dims: address-only)
-    for kx in range(3):
-        xs = xp[:, :, kx:kx + w, :]
-        for kz in range(3):
-            for ky in range(3):
-                wv = w_ref[kz, ky, kx, 0]  # (cb,) f32
-                acc = acc + xs[kz:kz + t, ky:ky + h] * wv
-    o_ref[0] = (acc + b_ref[0]).astype(o_ref.dtype)
 
 
 def _bwd_kernel(do_ref, x_ref, w_ref, dx_ref, dw_ref, db_ref, *, causal,
@@ -152,28 +158,6 @@ def _bwd_kernel(do_ref, x_ref, w_ref, dx_ref, dw_ref, db_ref, *, causal,
     db_ref[...] += db
 
 
-def _pallas_peg(x, kernel, bias, causal, cb, residual=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, t, h, w, c = x.shape
-    sx = pl.BlockSpec((1, t, h, w, cb), lambda bi, ci: (bi, 0, 0, 0, ci),
-                      memory_space=pltpu.VMEM)
-    sw = pl.BlockSpec((3, 3, 3, 1, cb), lambda bi, ci: (0, 0, 0, 0, ci),
-                      memory_space=pltpu.VMEM)
-    sb = pl.BlockSpec((1, cb), lambda bi, ci: (0, ci),
-                      memory_space=pltpu.VMEM)
-    return pallas_call(
-        functools.partial(_fwd_kernel, causal=causal, residual=residual),
-        grid=(b, c // cb),
-        in_specs=[sx, sw, sb],
-        out_specs=sx,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(x, kernel.astype(x.dtype).astype(jnp.float32),
-      bias.astype(jnp.float32)[None, :])
-
-
 def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -212,9 +196,8 @@ def peg_conv(x, kernel, bias, causal: bool = False, residual: bool = False):
     x + conv(x) in one pass (the transformer PEG residual,
     transformer_maskgit/attention.py:313) — saves a full extra HBM
     read+write of the (b, t, h, w, c) activation per layer."""
-    cb = _plan(x.shape, x.dtype)
-    if cb is not None:
-        return _pallas_peg(x, kernel, bias, causal, cb, residual)
+    if _plan(x.shape, x.dtype) is not None:
+        return lax_peg_conv(x, kernel, bias, causal, residual)
     return xla_peg_conv(x, kernel, bias, causal, residual)
 
 

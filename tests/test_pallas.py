@@ -669,8 +669,8 @@ def test_peg_conv_matches_nn_conv():
 def test_peg_kernels_on_tpu_if_available():
     if jax.devices()[0].platform != "tpu":
         pytest.skip("no TPU")
-    from ct_clip_tpu.ops.pallas.peg import (_pallas_peg, _pallas_peg_bwd,
-                                            _plan, xla_peg_conv)
+    from ct_clip_tpu.ops.pallas.peg import (_pallas_peg_bwd, _plan,
+                                            lax_peg_conv, xla_peg_conv)
 
     rng = np.random.RandomState(43)
     x = jnp.asarray(rng.randn(2, 8, 8, 8, 128).astype(np.float32)) \
@@ -682,7 +682,7 @@ def test_peg_kernels_on_tpu_if_available():
     for causal in (False, True):
         cb = _plan(x.shape, x.dtype)
         assert cb is not None
-        got = _pallas_peg(x, kernel, bias, causal, cb)
+        got = lax_peg_conv(x, kernel, bias, causal)
         ref = xla_peg_conv(x, kernel.astype(jnp.bfloat16), bias, causal)
         g32, r32 = np.asarray(got, np.float32), np.asarray(ref, np.float32)
         assert np.abs(g32 - r32).max() / max(np.abs(r32).max(), 1.0) < 2e-2

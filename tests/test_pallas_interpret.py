@@ -283,8 +283,8 @@ def test_spatial_qknorm_fwd_bwd_interpret():
 # ------------------------------------------------------------ PEG stencil
 
 def test_peg_fwd_bwd_interpret():
-    from ct_clip_tpu.ops.pallas.peg import (_pallas_peg, _pallas_peg_bwd,
-                                            _plan, xla_peg_conv)
+    from ct_clip_tpu.ops.pallas.peg import (_pallas_peg_bwd, _plan,
+                                            lax_peg_conv, xla_peg_conv)
 
     rng = np.random.RandomState(23)
     x = jnp.asarray(rng.randn(1, 4, 8, 8, 128).astype(np.float32),
@@ -296,7 +296,7 @@ def test_peg_fwd_bwd_interpret():
     for causal in (False, True):
         cb = _plan(x.shape, x.dtype)
         assert cb is not None
-        got = _pallas_peg(x, kernel, bias, causal, cb)
+        got = lax_peg_conv(x, kernel, bias, causal)
         ref = xla_peg_conv(x, kernel.astype(jnp.bfloat16), bias, causal)
         assert _rel_err(got, ref) < 2e-2
         dx, dw, db = _pallas_peg_bwd(x, kernel, do, causal, cb)
@@ -308,7 +308,7 @@ def test_peg_fwd_bwd_interpret():
             assert _rel_err(a, b_) < 5e-2
 
         # residual=True: x + conv(x) folded into the same pass
-        got_r = _pallas_peg(x, kernel, bias, causal, cb, residual=True)
+        got_r = lax_peg_conv(x, kernel, bias, causal, residual=True)
         ref_r = xla_peg_conv(x, kernel.astype(jnp.bfloat16), bias, causal,
                              residual=True)
         assert _rel_err(got_r, ref_r) < 2e-2
