@@ -14,16 +14,17 @@ shape vs 4.5 ms for a hand Pallas stencil and 2.7 ms for 27 pointwise
 shifted multiply-adds (tools/bench_peg.py) — XLA's depthwise lowering wins,
 so the forward uses it under a custom_vjp.
 
-Backward: a Pallas kernel.  Differentiating the grouped conv hits a GSPMD
-partitioning bug (kernel-gradient silently all-zero when the batch dim is
-sharded over a mesh axis — found by the tensor-parallel equivalence test),
-and XLA's own weight-grad fusions were the slowest part of the original
-lowering.  The kernel computes dx (correlation with the flipped kernel) as
-27 shifted multiply-accumulates over a zero-padded VMEM block in the
-token-native (..., w, c) layout, and accumulates dw (27, c) and dbias
-across sequential grid steps; it recomputes nothing (the stencil needs
-only x and dout).  Off-TPU both directions fall back to the pointwise
-27-tap form (identical numerics to flax nn.Conv, trivially partitionable).
+Backward: dx is the correlation with the flipped kernel == another
+depthwise conv (of dout, pads complemented) and rides the same fast
+grouped-conv lowering — hand-written under the custom_vjp, so XLA's
+grouped-conv GRADIENT (silently all-zero kernel-grad when the batch dim is
+sharded over a mesh axis — found by the tensor-parallel equivalence test,
+and slow even when right) is never emitted.  Only dw (27, c) and dbias
+stay in a Pallas stencil kernel: 27 shifted multiply-reduce taps over a
+zero-padded VMEM block in the token-native (..., w, c) layout, accumulated
+across sequential grid steps (recomputes nothing — the stencil needs only
+x and dout).  Off-TPU everything falls back to the pointwise 27-tap form
+(identical numerics to flax nn.Conv, trivially partitionable).
 """
 from __future__ import annotations
 
@@ -92,15 +93,13 @@ def _plan(shape, dtype) -> Optional[int]:
     if w % 8:
         return None
     cb = 128
-    # Peak live set of the backward kernel, one phase at a time (Mosaic
-    # reuses dead buffers across the dx and dw phases): the f32
-    # zero-padded block (xp/dop), one hoisted f32 kx-slice (xs/dos), two
-    # full-size f32 arrays (do + dx accumulator / do + prod temp), and the
-    # three bf16 in/out blocks.
+    # Peak live set of the dw/db kernel: the f32 zero-padded block (xp),
+    # one hoisted f32 kx-slice (xs), two full-size f32 arrays (do + prod
+    # temp), and the two bf16 input blocks.
     thw = t * h * w
     need = (t + 2) * (h + 2) * (w + 2) * cb * 4 \
         + (t + 2) * (h + 2) * w * cb * 4 \
-        + 2 * thw * cb * 4 + 3 * thw * cb * 2
+        + 2 * thw * cb * 4 + 2 * thw * cb * 2
     if need > _VMEM_LIMIT - 16 * 1024 * 1024:
         return None
     try:
@@ -114,28 +113,33 @@ def _taps(causal):
     return pt0, ph0, pw0
 
 
-def _bwd_kernel(do_ref, x_ref, w_ref, dx_ref, dw_ref, db_ref, *, causal,
-                residual):
+def lax_peg_dx(do, kernel, causal: bool, residual: bool = False):
+    """dx = correlation of dout with the flipped kernel == grouped conv of
+    dout with pads complemented (fwd pad (a, b) -> bwd pad (2-a, 2-b));
+    residual adds the identity term.  Same lowering argument as the
+    forward: XLA's depthwise conv beats the hand stencil, and this op is
+    hand-written (never differentiated), so the grouped-conv grad bug
+    cannot bite."""
+    (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal)
+    kf = kernel[::-1, ::-1, ::-1].astype(do.dtype)
+    dn = jax.lax.conv_dimension_numbers(do.shape, kf.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    dx = jax.lax.conv_general_dilated(
+        do, kf, (1, 1, 1),
+        ((2 - pt0, 2 - pt1), (2 - ph0, 2 - ph1), (2 - pw0, 2 - pw1)),
+        dimension_numbers=dn, feature_group_count=do.shape[-1],
+        preferred_element_type=jnp.float32)
+    if residual:
+        dx = dx + do.astype(jnp.float32)
+    return dx.astype(do.dtype)
+
+
+def _dw_kernel(do_ref, x_ref, dw_ref, db_ref, *, causal):
     from jax.experimental import pallas as pl
 
     t, h, w, cb = x_ref.shape[1:]
     pt0, ph0, pw0 = _taps(causal)
     do = do_ref[0].astype(jnp.float32)
-    # dx: correlation with the flipped kernel == conv of dout with pads
-    # complemented (fwd pad (a, b) -> bwd pad (2-a, a... i.e. (2-pt0, pt0));
-    # residual adds the identity term.  kx (sublane-dim) shift hoisted as in
-    # the forward.
-    dop = jnp.pad(do, ((2 - pt0, pt0), (2 - ph0, ph0), (2 - pw0, pw0),
-                       (0, 0)))
-    dx = do if residual else jnp.zeros((t, h, w, cb), jnp.float32)
-    for kx in range(3):
-        dos = dop[:, :, kx:kx + w, :]
-        for kz in range(3):
-            for ky in range(3):
-                wv = w_ref[2 - kz, 2 - ky, 2 - kx, 0]
-                dx = dx + dos[kz:kz + t, ky:ky + h] * wv
-    dx_ref[0] = dx.astype(dx_ref.dtype)
-
     xp = jnp.pad(x_ref[0].astype(jnp.float32),
                  ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
     dw_taps = [None] * 27
@@ -163,27 +167,28 @@ def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False):
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, h, w, c = x.shape
+    # dx rides the fast grouped-conv lowering; only the weight/bias grads
+    # (which XLA's grouped-conv grad gets wrong under GSPMD and slow
+    # otherwise) stay in the stencil kernel.
+    dx = lax_peg_dx(do, kernel.astype(x.dtype), causal, residual)
     # channel blocks OUTER, batch inner: the dw/db accumulator blocks are
     # indexed by channel only, so their visits must be consecutive in the
     # grid iteration for += to be well-defined
     sx = pl.BlockSpec((1, t, h, w, cb), lambda ci, bi: (bi, 0, 0, 0, ci),
                       memory_space=pltpu.VMEM)
-    sw = pl.BlockSpec((3, 3, 3, 1, cb), lambda ci, bi: (0, 0, 0, 0, ci),
-                      memory_space=pltpu.VMEM)
     sdw = pl.BlockSpec((27, cb), lambda ci, bi: (0, ci),
                        memory_space=pltpu.VMEM)
     sdb = pl.BlockSpec((1, cb), lambda ci, bi: (0, ci),
                        memory_space=pltpu.VMEM)
-    dx, dw, db = pallas_call(
-        functools.partial(_bwd_kernel, causal=causal, residual=residual),
+    dw, db = pallas_call(
+        functools.partial(_dw_kernel, causal=causal),
         grid=(c // cb, b),
-        in_specs=[sx, sx, sw],
-        out_specs=[sx, sdw, sdb],
-        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
-                   jax.ShapeDtypeStruct((27, c), jnp.float32),
+        in_specs=[sx, sx],
+        out_specs=[sdw, sdb],
+        out_shape=[jax.ShapeDtypeStruct((27, c), jnp.float32),
                    jax.ShapeDtypeStruct((1, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(do, x, kernel.astype(x.dtype).astype(jnp.float32))
+    )(do, x)
     return dx, dw.reshape(3, 3, 3, 1, c), db[0]
 
 

@@ -13,13 +13,14 @@ Two kernels, both gridded over row blocks of the flattened token stream
     production shape) and accumulate bins = sum(onehot) and
     embed_sum = onehot^T @ x_n across the sequential grid steps.
 
-Similarity and stats both run in f32 (normalization, matmul operands, and
-accumulation): bf16 operands would save half the MXU passes but flip
-assignments whenever two codes sit within bf16 rounding (~1e-3 relative) of
-a token — not just on exact ties — and let the EMA codebook trajectory
-drift from the f32 reference (round-1 advisory).  The only bf16 left in the
-chain is whatever the model's own activations carry.  Falls back to the XLA
-path off-TPU or for non-conforming shapes.
+Normalization and accumulation run in f32 throughout.  In training
+(exact=True) the similarity and EMA-sum matmuls use hi/lo bf16 operand
+splits (3 MXU passes each) whose error is below plain-f32 reassociation
+noise — single-pass bf16 operands would flip assignments whenever two
+codes sit within bf16 rounding (~4e-3 relative) of a token, not just on
+exact ties, and let the EMA codebook trajectory drift from the f32
+reference (round-1 advisory); pure inference uses the single fast pass.
+Falls back to the XLA path off-TPU or for non-conforming shapes.
 """
 from __future__ import annotations
 
@@ -58,18 +59,28 @@ def _norm_rows(x_f32):
     return x_f32 * jax.lax.rsqrt(jnp.maximum(sumsq, _EPS_L2 * _EPS_L2))
 
 
-def _assign_kernel(x_ref, eb_ref, ids_ref, *, exact: bool):
+def _assign_kernel(x_ref, ebh_ref, ebl_ref, ids_ref, *, exact: bool):
     xn = _norm_rows(x_ref[...].astype(jnp.float32))
-    # exact=True: true-f32 similarities (multi-pass MXU) so argmax matches
-    # the f32 reference bit-for-bit — the EMA-parity mode (round-1
-    # advisory).  exact=False: one bf16 pass (~4e-3 relative); measured
-    # ~0.5% of assignments flip on random tokens, all between codes whose
-    # similarities tie within that margin.  6x faster at production shape
-    # (16 vs 39 ms per batch-8 assignment).
-    sim = jax.lax.dot_general(xn, eb_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=(jax.lax.Precision.HIGHEST if exact
-                                         else jax.lax.Precision.DEFAULT))
+    dot_t = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xh = xn.astype(jnp.bfloat16)
+    if exact:
+        # f32-equivalent similarities in 3 bf16 MXU passes (hi/lo operand
+        # split; the dropped lo*lo term is <= 2^-16 relative — below the
+        # reassociation noise a plain f32 matmul carries itself, so the
+        # argmax matches the f32 reference up to exact ties).  Mosaic has
+        # no Precision.HIGH lowering and HIGHEST's 6 passes buy nothing
+        # the argmax can see at double the cost (28 -> 14 ms per batch-8
+        # training assignment).
+        xl = (xn - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        sim = dot_t(xh, ebh_ref[...]) + dot_t(xh, ebl_ref[...]) \
+            + dot_t(xl, ebh_ref[...])
+    else:
+        # one bf16 pass (~4e-3 relative); measured ~0.5% of assignments
+        # flip on random tokens, all between codes whose similarities tie
+        # within that margin — the fast pure-inference mode
+        sim = dot_t(xh, ebh_ref[...])
     ids_ref[...] = jnp.argmax(sim, axis=-1, keepdims=True).astype(jnp.int32)
 
 
@@ -82,15 +93,20 @@ def pallas_assign(flat: jnp.ndarray, embed_n: jnp.ndarray,
 
     n, dim = flat.shape
     k = embed_n.shape[0]
+    # codebook hi/lo bf16 split hoisted out of the kernel (one cheap XLA
+    # pass per call instead of per grid step)
+    ebf = embed_n.astype(jnp.float32)
+    eb_hi = ebf.astype(jnp.bfloat16)
+    eb_lo = (ebf - eb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     sx = pl.BlockSpec((m, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     se = pl.BlockSpec((k, dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
     si = pl.BlockSpec((m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ids = pallas_call(
         functools.partial(_assign_kernel, exact=exact), grid=(n // m,),
-        in_specs=[sx, se], out_specs=si,
+        in_specs=[sx, se, se], out_specs=si,
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(flat, embed_n.astype(jnp.float32))
+    )(flat, eb_hi, eb_lo)
     return ids[:, 0]
 
 
