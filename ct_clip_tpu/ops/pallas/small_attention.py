@@ -169,7 +169,12 @@ def _plan(b, n, dim, heads, dim_head) -> Optional[int]:
             return None
     except Exception:  # noqa: BLE001
         return None
-    for g in (32, 16, 8, 4, 2, 1):
+    # g trades score/PV waste (the masked (g*n, g*n) block-diagonal matmul
+    # computes g x the useful FLOPs) against projection MXU utilization
+    # (M = g*n rows) — on-chip sweep at the production temporal shape
+    # (4608, 24, 512): g=16 ~= g=8 < g=4, and beats g=32 in the backward
+    # by ~30% (tools/bench_small_attn.py)
+    for g in (16, 8, 32, 4, 2, 1):
         if b % g == 0 and (g * n) % 8 == 0 \
                 and _vmem_need(g, n, dim, heads, dim_head) <= _VMEM_BUDGET:
             return g
@@ -383,7 +388,9 @@ def _vmem_need_bwd(g, n, dim, heads, dim_head):
 def _plan_bwd(b, n, dim, heads, dim_head) -> Optional[int]:
     if _plan(b, n, dim, heads, dim_head) is None:
         return None
-    for g in (64, 32, 16, 8, 4, 2, 1):
+    # see _plan: the backward recomputes the score matrix, so block-diag
+    # waste bites ~2.5x harder — g=16 measured fastest on-chip
+    for g in (16, 8, 32, 4, 2, 1):
         if b % g == 0 and (g * n) % 8 == 0 \
                 and _vmem_need_bwd(g, n, dim, heads, dim_head) \
                 <= _VMEM_LIMIT_BWD - 16 * 1024 * 1024:
