@@ -38,11 +38,35 @@ def bucket_shape(shape: Sequence[int]) -> Tuple[int, int, int]:
 @dataclass
 class RawSample:
     vol: np.ndarray            # (Zb, Xb, Yb) zero-padded to bucket
-    true_sizes: np.ndarray     # (3,) int32 actual extents
+    true_sizes: np.ndarray     # (3,) int32 actual extents (vol-layout order)
     spacing: np.ndarray        # (3,) f32 (z, x, y)
     slope: np.float32
     intercept: np.float32
     meta: VolumeMeta
+    layout: str = "zxy"        # vol axis order: "zxy" or "zyx"
+
+
+def preprocess_sample(sample: "RawSample", clip_before_resample: bool,
+                      out_dtype=None, **kwargs):
+    """RawSample -> (240, 480, 480) model input on device, layout-aware.
+
+    One-stop consumer for both loader layouts: passes the raw (possibly
+    int16, possibly (Z, Y, X)) volume straight to the fused device
+    preprocess (ops/resample.py), which folds any relayout into its
+    resample matmuls.  `out_dtype` folds the model-input cast in too."""
+    import jax.numpy as jnp
+
+    from ..ops.resample import preprocess_volume
+
+    true = sample.true_sizes
+    if sample.layout == "zyx":
+        true = true[[0, 2, 1]]  # semantic (z, x, y) order
+    return preprocess_volume(
+        jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
+        jnp.float32(sample.slope), jnp.float32(sample.intercept),
+        true_sizes=jnp.asarray(true),
+        clip_before_resample=clip_before_resample,
+        input_layout=sample.layout, out_dtype=out_dtype, **kwargs)
 
 
 class VolumeLoader:
@@ -106,7 +130,8 @@ class VolumeLoader:
             return RawSample(vol=vol, true_sizes=true,
                              spacing=np.asarray(meta.spacing_zxy, np.float32),
                              slope=np.float32(meta.slope),
-                             intercept=np.float32(meta.intercept), meta=meta)
+                             intercept=np.float32(meta.intercept), meta=meta,
+                             layout=self.raw_layout)
 
         indices = self._indices()
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:

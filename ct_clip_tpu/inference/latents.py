@@ -12,14 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.ctclip import CTCLIP
-from ..ops.resample import preprocess_volume
 
 
 def export_latents(model: CTCLIP, variables: Dict, tokenizer, dataset,
                    results_folder: str, num_workers: int = 8,
                    max_text_len: int = 512,
                    target_shape=None) -> Dict[str, np.ndarray]:
-    from ..data.loader import VolumeLoader
+    from ..data.loader import VolumeLoader, preprocess_sample
 
     out_dir = Path(results_folder)
     (out_dir / "image_latents").mkdir(parents=True, exist_ok=True)
@@ -31,13 +30,11 @@ def export_latents(model: CTCLIP, variables: Dict, tokenizer, dataset,
         v, i, m, method=CTCLIP.encode_text))
 
     texts, images = {}, {}
-    loader = VolumeLoader(dataset, num_workers=num_workers, prefetch=4)
+    loader = VolumeLoader(dataset, num_workers=num_workers, prefetch=4,
+                          raw_dtype=np.int16, raw_layout="zyx")
     for sample in loader:
-        vol = preprocess_volume(
-            jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
-            jnp.float32(sample.slope), jnp.float32(sample.intercept),
-            true_sizes=jnp.asarray(sample.true_sizes),
-            clip_before_resample=dataset.clip_before_resample,
+        vol = preprocess_sample(
+            sample, dataset.clip_before_resample,
             **({} if target_shape is None
                else {"target_shape": tuple(target_shape)}))
         enc_grid = encode_image(variables, vol[None, ..., None])

@@ -20,7 +20,6 @@ import optax
 
 from ..config import PATHOLOGIES
 from ..models.ctclip import CTCLIP
-from ..ops.resample import preprocess_volume
 from ..train.finetune import (LIPRO_POS_WEIGHTS, LiProHead,
                               make_lipro_latent_fn, make_lipro_step)
 
@@ -30,17 +29,15 @@ def encode_dataset_latents(model: CTCLIP, variables, dataset,
                            compute_dtype=jnp.bfloat16):
     """One pass over the dataset -> (latents (N, d), labels (N, 18),
     accessions)."""
-    from ..data.loader import VolumeLoader
+    from ..data.loader import VolumeLoader, preprocess_sample
 
     latent_fn = make_lipro_latent_fn(model, variables)
     latents, labels, names = [], [], []
-    for sample in VolumeLoader(dataset, num_workers=num_workers, prefetch=4):
-        vol = preprocess_volume(
-            jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
-            jnp.float32(sample.slope), jnp.float32(sample.intercept),
-            true_sizes=jnp.asarray(sample.true_sizes),
-            clip_before_resample=dataset.clip_before_resample)
-        lat = latent_fn(vol[None, ..., None].astype(compute_dtype))
+    for sample in VolumeLoader(dataset, num_workers=num_workers, prefetch=4,
+                               raw_dtype=np.int16, raw_layout="zyx"):
+        vol = preprocess_sample(sample, dataset.clip_before_resample,
+                                out_dtype=compute_dtype)
+        lat = latent_fn(vol[None, ..., None])
         latents.append(np.asarray(lat[0], np.float32))
         labels.append(sample.meta.labels if sample.meta.labels is not None
                       else np.zeros(len(PATHOLOGIES), np.float32))

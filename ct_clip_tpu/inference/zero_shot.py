@@ -28,7 +28,6 @@ import numpy as np
 
 from ..config import PATHOLOGIES, CTCLIPConfig
 from ..models.ctclip import CTCLIP
-from ..ops.resample import preprocess_volume
 
 
 def pathology_prompts(pathologies: Sequence[str] = PATHOLOGIES) -> List[str]:
@@ -146,22 +145,20 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
                   mesh=None) -> Dict[str, np.ndarray]:
     """Full CTClipInference.infer equivalent: iterate the dataset, score all
     volumes, dump npz + accession list + AUROC table (zero_shot.py:149-165)."""
-    from ..data.loader import VolumeLoader
+    from ..data.loader import VolumeLoader, preprocess_sample
     from ..evals.metrics import evaluate_internal
 
     clf = ZeroShotClassifier(model, variables, tokenizer, pathologies,
                              mesh=mesh)
     loader = VolumeLoader(dataset, num_workers=num_workers,
-                          prefetch=2 * batch_size)
+                          prefetch=2 * batch_size,
+                          raw_dtype=np.int16, raw_layout="zyx")
 
     preds, labels, names = [], [], []
     buf = []
     for sample in loader:
-        vol = preprocess_volume(
-            jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
-            jnp.float32(sample.slope), jnp.float32(sample.intercept),
-            true_sizes=jnp.asarray(sample.true_sizes),
-            clip_before_resample=dataset.clip_before_resample)
+        vol = preprocess_sample(sample, dataset.clip_before_resample,
+                                out_dtype=getattr(model, "dtype", None))
         buf.append((vol[..., None], sample.meta))
         if len(buf) == batch_size:
             _flush(clf, buf, preds, labels, names)

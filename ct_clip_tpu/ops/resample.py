@@ -8,13 +8,18 @@ scripts/data_inference_nii.py:96-165 infer ordering: rescale, clip, resample,
 normalize, crop/pad) with a single jitted device computation.
 
 TPU-first design: trilinear interpolation is separable, so the resample runs
-as three per-axis linear gathers (2 gathers + lerp each) instead of the naive
-8-corner gather — ~4x less HBM traffic.  The crop/pad is folded into the
-per-axis index computation, so the output shape is the *static* final grid
-regardless of input spacing.  Spacing / slope / intercept / true (unpadded)
-sizes are traced scalars: the host loader pads raw volumes up to a small set
-of bucket shapes and passes the true sizes, so recompilation happens only per
-bucket, not per volume.
+as three per-axis 1D linear maps instead of the naive 8-corner gather — ~4x
+less HBM traffic.  Each per-axis map is expressed as a dense (out, in) matrix
+with <=2 nonzeros per row and executed as an MXU matmul (`method="matmul"`,
+the TPU default): XLA's TPU lowering of 1D `take` runs far below HBM peak,
+while the matmul form streams the volume at memory speed (HIGHEST precision
+keeps it f32-exact; golden-tested both ways).  `method="gather"` keeps the
+take-based form (the default off-TPU, where gathers are fine and faster).  The crop/pad is folded
+into the per-axis index computation, so the output shape is the *static*
+final grid regardless of input spacing.  Spacing / slope / intercept / true
+(unpadded) sizes are traced scalars: the host loader pads raw volumes up to a
+small set of bucket shapes and passes the true sizes, so recompilation
+happens only per bucket, not per volume.
 
 Numerics match torch F.interpolate(mode='trilinear', align_corners=False)
 exactly: src = max((dst + 0.5) * in/out - 0.5, 0), floor/ceil gather with
@@ -64,7 +69,44 @@ def _lerp_axis(vol, axis: int, idx0, idx1, lam):
     return g0 * (1.0 - lam) + g1 * lam
 
 
-@partial(jax.jit, static_argnames=("clip_before_resample", "target_shape"))
+def _axis_matrix(in_padded: int, idx0, idx1, lam):
+    """(out, in) resample matrix with <=2 nonzeros per row: row o holds
+    (1-lam[o]) at idx0[o] and lam[o] at idx1[o].  Columns beyond the true
+    input extent are never indexed (idx clamped to in_size-1), so
+    zero-padded bucket tails contribute exactly 0."""
+    cols = jnp.arange(in_padded)
+    w0 = jnp.where(cols[None, :] == idx0[:, None], 1.0 - lam[:, None], 0.0)
+    w1 = jnp.where(cols[None, :] == idx1[:, None], lam[:, None], 0.0)
+    return (w0 + w1).astype(jnp.float32)
+
+
+# (einsum, contracted array dim) per (resample axis, current array layout).
+# The zyx x-step contracts the minor array dim, so the (Z, Y, X) -> (Z, X, Y)
+# relayout rides the matmul for free (after it the array is already zxy).
+_AXIS_EINSUM = {
+    (0, "zxy"): ("oi,iab->oab", 0),
+    (1, "zxy"): ("oi,ziy->zoy", 1),
+    (2, "zxy"): ("oi,zxi->zxo", 2),
+    (0, "zyx"): ("oi,iab->oab", 0),
+    (1, "zyx"): ("oi,zyi->zoy", 2),  # out is (z, x', y)
+    (2, "zyx"): ("oi,zxi->zxo", 2),
+}
+
+
+def _matmul_axis(vol, axis: int, layout: str, idx0, idx1, lam, precision):
+    """Axis resample as a dense matmul on the MXU.  TPU-first: XLA lowers
+    1D `take` along an axis to a gather that runs an order of magnitude
+    below HBM peak; the same linear map as a (out, in) matrix rides the
+    MXU at memory speed (HIGHEST precision is bit-exact vs the f32 lerp —
+    each row has <=2 nonzeros; measured on-chip, tools/bench_preprocess.py)."""
+    eq, cdim = _AXIS_EINSUM[(axis, layout)]
+    w = _axis_matrix(vol.shape[cdim], idx0, idx1, lam)
+    return jnp.einsum(eq, w, vol, precision=precision)
+
+
+@partial(jax.jit, static_argnames=("clip_before_resample", "target_shape",
+                                   "method", "out_dtype", "input_layout",
+                                   "matmul_precision"))
 def preprocess_volume(
     vol_zxy: jnp.ndarray,
     spacing_zxy: jnp.ndarray,
@@ -78,18 +120,45 @@ def preprocess_volume(
     norm_scale: float = 1000.0,
     pad_value: float = -1.0,
     target_shape: Tuple[int, int, int] = TARGET_SHAPE_DHW,
+    method: Optional[str] = None,
+    out_dtype=None,
+    input_layout: str = "zxy",
+    matmul_precision=None,
 ) -> jnp.ndarray:
     """vol_zxy: (Z, X, Y) raw voxels (nifti fdata transposed (2,0,1), as
     scripts/data.py:115), possibly zero-padded beyond `true_sizes` for shape
-    bucketing.  spacing_zxy: (3,) = (z, x, y) mm.  Returns the final
-    (240, 480, 480) f32 tensor (pre-channel-dim), i.e. the reference's
-    tensor.permute(2,0,1) result (data.py:158)."""
+    bucketing.  `input_layout="zyx"` accepts the loader's raw (Z, Y, X)
+    layout instead — the matmul form folds the relayout into the x-axis
+    contraction for free (the gather form transposes up front).  Semantic
+    argument order is unaffected: spacing_zxy / true_sizes are always
+    (z, x, y).  Returns the final (240, 480, 480) f32 tensor
+    (pre-channel-dim), i.e. the reference's tensor.permute(2,0,1) result
+    (data.py:158)."""
+    if method is None:  # trace-time: MXU form on TPU, take-form elsewhere
+        method = "matmul" if jax.default_backend() == "tpu" else "gather"
+    if matmul_precision is None:
+        # bf16 output: the 2^-9 output rounding dwarfs bf16x3 matmul error,
+        # so HIGH is free accuracy-wise and ~1.4x faster (measured on-chip,
+        # tools/bench_preprocess.py).  f32 output: HIGHEST is bit-exact vs
+        # the f32 lerp and keeps the torch-golden parity claim unqualified.
+        bf16_out = out_dtype is not None and \
+            jnp.dtype(out_dtype) == jnp.bfloat16
+        matmul_precision = (jax.lax.Precision.HIGH if bf16_out
+                            else jax.lax.Precision.HIGHEST)
+    layout = input_layout
+    if layout not in ("zxy", "zyx"):
+        raise ValueError(f"input_layout must be zxy or zyx, got {layout!r}")
+    if layout == "zyx" and method != "matmul":
+        vol_zxy = jnp.transpose(vol_zxy, (0, 2, 1))
+        layout = "zxy"
     vol = vol_zxy.astype(jnp.float32) * slope + intercept
     if clip_before_resample:  # infer path, data_inference_nii.py:115-117
         vol = jnp.clip(vol, hu_min, hu_max)
 
     if true_sizes is None:
-        true_sizes = jnp.asarray(vol.shape, jnp.int32)
+        shp = vol.shape if layout == "zxy" else \
+            (vol.shape[0], vol.shape[2], vol.shape[1])
+        true_sizes = jnp.asarray(shp, jnp.int32)
     out_sizes = target_shape
     target = jnp.asarray(target_spacing, jnp.float32)
     # reference: new_shape[i] = int(orig[i] * current[i] / target[i]) (data.py:26-31)
@@ -100,7 +169,13 @@ def preprocess_volume(
     for axis in range(3):
         idx0, idx1, lam, valid = _axis_params(out_sizes[axis], true_sizes[axis],
                                               res_sizes[axis])
-        vol = _lerp_axis(vol, axis, idx0, idx1, lam)
+        if method == "matmul":
+            vol = _matmul_axis(vol, axis, layout, idx0, idx1, lam,
+                               matmul_precision)
+            if axis >= 1:
+                layout = "zxy"  # the zyx x-step lands in zxy layout
+        else:
+            vol = _lerp_axis(vol, axis, idx0, idx1, lam)
         valids.append(valid)
 
     if not clip_before_resample:  # train path, data.py:122-123
@@ -109,7 +184,12 @@ def preprocess_volume(
 
     mask = (valids[0][:, None, None] & valids[1][None, :, None]
             & valids[2][None, None, :])
-    return jnp.where(mask, vol, pad_value)
+    out = jnp.where(mask, vol, pad_value)
+    # fold the model-input cast into the fused graph: writing bf16 here
+    # halves the HBM bytes of the output plus any downstream batch-stack
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
 
 
 def preprocess_batch(vols_zxy, spacings, slopes, intercepts, true_sizes=None,

@@ -181,8 +181,7 @@ def train_vocabfine(model: CTCLIP, variables, tokenizer, dataset, *,
     are batched, and the whole update is one jitted step.
 
     Returns (variables, history)."""
-    from ..data.loader import VolumeLoader
-    from ..ops.resample import preprocess_volume
+    from ..data.loader import VolumeLoader, preprocess_sample
     from .optimizer import cosine_lr_schedule
 
     prompts = vocabfine_prompt_batch(tokenizer)
@@ -203,12 +202,10 @@ def train_vocabfine(model: CTCLIP, variables, tokenizer, dataset, *,
         buf_v, buf_l = [], []
         for sample in VolumeLoader(dataset, num_workers=num_workers,
                                    prefetch=2 * batch_size, shuffle=True,
-                                   seed=seed + epoch):
-            vol = preprocess_volume(
-                jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
-                jnp.float32(sample.slope), jnp.float32(sample.intercept),
-                true_sizes=jnp.asarray(sample.true_sizes),
-                clip_before_resample=dataset.clip_before_resample)
+                                   seed=seed + epoch,
+                                   raw_dtype=np.int16, raw_layout="zyx"):
+            vol = preprocess_sample(sample, dataset.clip_before_resample,
+                                    out_dtype=compute_dtype)
             buf_v.append(vol[..., None])
             buf_l.append(sample.meta.labels)
             if len(buf_v) < batch_size:

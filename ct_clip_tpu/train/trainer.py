@@ -27,9 +27,8 @@ import numpy as np
 
 from ..config import PATHOLOGIES, CTCLIPConfig, TrainConfig
 from ..data.datasets import CTReportDataset, CTReportDatasetInfer
-from ..data.loader import VolumeLoader
+from ..data.loader import VolumeLoader, preprocess_sample
 from ..models.ctclip import CTCLIP
-from ..ops.resample import preprocess_volume
 from ..parallel.mesh import make_mesh, shard_opt_state, shard_params
 from .checkpoint import CheckpointManager
 from .optimizer import get_optimizer
@@ -105,13 +104,11 @@ class CTClipTrainer:
         self.ckpt = CheckpointManager(self.results_folder / "checkpoints")
         self._zero_shot = None  # hoisted eval classifier, compiled once
 
-    @staticmethod
-    def _default_preprocess(sample, clip_before_resample: bool):
-        return preprocess_volume(
-            jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
-            jnp.float32(sample.slope), jnp.float32(sample.intercept),
-            true_sizes=jnp.asarray(sample.true_sizes),
-            clip_before_resample=clip_before_resample)
+    def _default_preprocess(self, sample, clip_before_resample: bool):
+        # int16 zyx raw samples: relayout + model-dtype cast ride the fused
+        # preprocess; halves the host->device bytes vs scaled f32
+        return preprocess_sample(sample, clip_before_resample,
+                                 out_dtype=self.cfg.dtype)
 
     # ------------------------------------------------------------------ data
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -132,7 +129,8 @@ class CTClipTrainer:
                               prefetch=2 * local_bs, shuffle=True,
                               infinite=True, seed=self.cfg.seed,
                               process_index=process_index(),
-                              process_count=pc)
+                              process_count=pc,
+                              raw_dtype=np.int16, raw_layout="zyx")
         buf_v, buf_t = [], []
         for sample in loader:
             vol = self._preprocess(sample, self.train_ds.clip_before_resample)
@@ -265,7 +263,8 @@ class CTClipTrainer:
         clf = self._zero_shot
         preds, labels = [], []
         loader = VolumeLoader(self.valid_ds, num_workers=self.num_workers,
-                              prefetch=4)
+                              prefetch=4, raw_dtype=np.int16,
+                              raw_layout="zyx")
         for i, sample in enumerate(loader):
             if i >= num_volumes:
                 break

@@ -110,3 +110,30 @@ def test_pad_regions_are_minus_one():
     assert (out == -1.0).mean() > 0.9
     center = out[120, 240, 240]
     assert abs(center - 0.5) < 1e-5
+
+
+def test_matmul_method_matches_gather():
+    """The MXU-form resample (per-axis (out, in) matrices) must agree with
+    the take-form to f32 rounding, including bucketed zero-pad tails."""
+    rng = np.random.RandomState(3)
+    vol = rng.randint(-100, 3000, size=(64, 48, 56)).astype(np.float32)
+    vol[50:] = 0.0  # bucket tail past true_sizes
+    true = jnp.asarray([50, 48, 56], jnp.int32)
+    args = (jnp.asarray(vol), jnp.asarray([2.0, 1.2, 1.2], jnp.float32),
+            jnp.float32(1.0), jnp.float32(-1024.0))
+    for clip_before in (False, True):
+        g = preprocess_volume(*args, true_sizes=true,
+                              clip_before_resample=clip_before,
+                              method="gather")
+        m = preprocess_volume(*args, true_sizes=true,
+                              clip_before_resample=clip_before,
+                              method="matmul")
+        np.testing.assert_allclose(np.asarray(m), np.asarray(g), atol=2e-5)
+        # zyx input layout: relayout folded into the x-axis contraction
+        vol_zyx = jnp.transpose(args[0], (0, 2, 1))
+        for meth in ("gather", "matmul"):
+            z = preprocess_volume(vol_zyx, *args[1:], true_sizes=true,
+                                  clip_before_resample=clip_before,
+                                  method=meth, input_layout="zyx")
+            np.testing.assert_allclose(np.asarray(z), np.asarray(g),
+                                       atol=2e-5)
