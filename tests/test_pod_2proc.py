@@ -35,6 +35,12 @@ def test_two_process_pod_train(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "pod_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "CTCLIP_TEST_PLATFORM")}
+    # the workers are plain scripts: only their own dir lands on sys.path,
+    # so the repo root must ride PYTHONPATH (prepended — some environments
+    # carry a PYTHONPATH of their own, e.g. a backend-plugin site dir)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), str(port), str(tmp_path),
          str(tmp_path)],
