@@ -393,22 +393,36 @@ def main() -> None:
         variables)
     jax.block_until_ready(spatial_bias)
 
-    def score(variables, video, prompts):
+    # spatial_bias and temp are ARGUMENTS, not closure captures: a jit
+    # closure constant is embedded into the MLIR module at lowering time via
+    # a device->host fetch of the array — through the chip tunnel that fetch
+    # alone measured 220 s (round-3's unexplained 437 s "compile" was this,
+    # not XLA).  inference/zero_shot.py threads them as arguments for the
+    # same reason.
+    def score(variables, video, prompts, spatial_bias, temp):
         latents, _ = model.apply(variables, video, spatial_bias=spatial_bias,
                                  method=CTCLIP.encode_image)
         logits = jnp.einsum("bd,pkd->bpk", latents, prompts) * temp
         return jax.nn.softmax(logits, axis=-1)[..., 0]
 
-    score_jit = jax.jit(score)
+    score5 = jax.jit(score)
+    score_jit = lambda v, vid, p: score5(v, vid, p, spatial_bias, temp)
 
     video = jnp.asarray(
         rng.rand(batch, frames, size, size, 1).astype(np.float32) * 2 - 1,
         jnp.bfloat16)
 
     t0 = time.time()
-    out = score_jit(variables, video, prompts)
+    lowered = score5.lower(variables, video, prompts, spatial_bias, temp)
+    t_lower = time.time() - t0
+    compiled = lowered.compile()
+    t_compile = time.time() - t0 - t_lower
+    out = compiled(variables, video, prompts, spatial_bias, temp)
     np.asarray(out)
-    print(f"[bench] compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    t_warm = time.time() - t0
+    print(f"[bench] compile+warmup: {t_warm:.1f}s (trace+lower "
+          f"{t_lower:.1f}s, compile {t_compile:.1f}s — persistent cache "
+          f"hits make the compile phase ~1s on reruns)", file=sys.stderr)
 
     iters = 5
     best = None
@@ -435,6 +449,12 @@ def main() -> None:
         "vs_baseline": round(vol_per_s / BASELINE_VOL_PER_S, 2),
         "mfu": round(mfu, 4),
         "gflop_per_volume": round(gflop, 1),
+        # cold-start split: trace+lower is client Python (shape-dependent
+        # only); the compile phase is ~1s when the persistent compilation
+        # cache (utils.enable_compilation_cache) holds this program
+        "compile_warmup_s": round(t_warm, 1),
+        "trace_lower_s": round(t_lower, 1),
+        "xla_compile_s": round(t_compile, 1),
     }
     if os.environ.get("CTCLIP_BENCH_E2E", "1") != "0":
         record.update(bench_e2e(score_jit, variables, prompts, batch))

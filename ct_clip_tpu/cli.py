@@ -260,7 +260,8 @@ def cmd_radbert_train(args):
     tok = _tokenizer(args)
     cfg = RadBertConfig(vocab_size=tok.vocab_size)
     trainer = TextClassifierTrainer(RadBertClassifier(cfg), tok, lr=args.lr,
-                                    batch_size=args.batch_size)
+                                    batch_size=args.batch_size,
+                                    scheduler=args.scheduler)
     train_ds = ReportClassificationDataset(args.reports,
                                            augment_prob=args.augment)
     valid_ds = (ReportClassificationDataset(args.reports_valid)
@@ -415,6 +416,9 @@ def main(argv=None):
     r.add_argument("--batch-size", type=int, default=32)
     r.add_argument("--epochs", type=int, default=10)
     r.add_argument("--augment", type=float, default=0.0)
+    r.add_argument("--scheduler", choices=["cawr", "rlop"], default=None,
+                   help="per-epoch LR schedule (text_classifier/train.py:"
+                        "126-140)")
     r.add_argument("--out", help="pickle path for trained params")
     r.set_defaults(fn=cmd_radbert_train)
 

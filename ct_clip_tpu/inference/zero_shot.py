@@ -197,9 +197,6 @@ def _flush(clf, buf, preds, labels, names, pad_to: Optional[int] = None):
 
 
 def _write_table(df, path: Path):
-    """Excel when openpyxl/xlsxwriter is available, CSV fallback (air-gapped
-    parity with zero_shot.py:161-165 artifacts)."""
-    try:
-        df.to_excel(path, index=False)
-    except Exception:
-        df.to_csv(path.with_suffix(".csv"), index=False)
+    from ..utils import write_table
+
+    write_table(df, path)

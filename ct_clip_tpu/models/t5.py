@@ -65,9 +65,13 @@ def jax_t5_embedder(cfg, variables, tokenizer,
     model = T5Encoder(cfg)
 
     @jax.jit
-    def encode(ids, mask):
-        hidden = model.apply(variables, ids, mask)
+    def encode_v(vars_, ids, mask):
+        hidden = model.apply(vars_, ids, mask)
         return hidden * mask[..., None].astype(hidden.dtype)
+
+    # weights threaded as a jit argument, not a closure constant (constants
+    # are embedded via device->host fetches at lowering — see bench.py)
+    encode = lambda ids, mask: encode_v(variables, ids, mask)
 
     def embed(texts: Sequence[str]) -> np.ndarray:
         enc = tokenizer(list(texts), padding="longest", truncation=True,
@@ -108,9 +112,11 @@ def bert_text_embedder(model, variables, tokenizer,
     import jax.numpy as jnp
 
     @jax.jit
-    def encode(ids, mask):
-        hidden, _ = model.apply(variables, ids, mask)
+    def encode_v(vars_, ids, mask):
+        hidden, _ = model.apply(vars_, ids, mask)
         return hidden * mask[..., None]
+
+    encode = lambda ids, mask: encode_v(variables, ids, mask)
 
     def embed(texts: Sequence[str]) -> np.ndarray:
         enc = tokenizer(list(texts), padding="max_length", truncation=True,

@@ -128,14 +128,19 @@ def bce_with_logits(logits, labels, pos_weight=None):
 def make_lipro_latent_fn(model: CTCLIP, variables) -> Callable:
     """Frozen-backbone latent extractor: video -> (B, dim_latent).  The
     reference passes a single-space text (" ") it then ignores
-    (ct_lipro_train.py:96); only image latents feed the head."""
+    (ct_lipro_train.py:96); only image latents feed the head.
+
+    `variables` is threaded as a jit ARGUMENT: closing over the full weight
+    tree would embed ~1.2 GB of MLIR constants via device->host fetches at
+    lowering time (minutes through a chip tunnel, and an unshareable
+    executable)."""
 
     @jax.jit
-    def latent_fn(video):
-        latents, _ = model.apply(variables, video, method=CTCLIP.encode_image)
+    def latent_fn(vars_, video):
+        latents, _ = model.apply(vars_, video, method=CTCLIP.encode_image)
         return jax.lax.stop_gradient(latents)
 
-    return latent_fn
+    return lambda video: latent_fn(variables, video)
 
 
 def make_lipro_step(head: LiProHead, tx: optax.GradientTransformation,

@@ -51,8 +51,11 @@ class MaskGitTrainer:
         self.results = Path(self.results_folder)
         self.results.mkdir(parents=True, exist_ok=True)
         self.ckpt = CheckpointManager(self.results / "checkpoints")
-        self._encode = jax.jit(lambda v: self.ctvit.apply(
-            self.ctvit_variables, v, return_only_codebook_ids=True))
+        # variables threaded as a jit argument (closure constants are
+        # embedded via device->host fetches at lowering — see bench.py)
+        enc = jax.jit(lambda vars_, v: self.ctvit.apply(
+            vars_, v, return_only_codebook_ids=True))
+        self._encode = lambda v: enc(self.ctvit_variables, v)
 
     def encode_ids(self, video: jnp.ndarray) -> jnp.ndarray:
         """Frozen CTViT -> codebook ids (train_transformer.py via

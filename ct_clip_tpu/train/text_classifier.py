@@ -97,15 +97,57 @@ class TextClassifierTrainer:
     early_stop_patience: int = 100
     threshold: float = 0.5
     seed: int = 0
+    # optional per-epoch LR schedule (text_classifier/train.py:126-140;
+    # stepped once per epoch like model_trainer.py:66-72):
+    #   "cawr" — CosineAnnealingWarmupRestarts over epochs
+    #   "rlop" — ReduceLROnPlateau on the monitored (valid) loss
+    scheduler: Optional[str] = None
+    cawr_first_cycle: int = 200   # train.py:115 cycle_step
+    cawr_warmup: int = 50         # train.py:114 w_steps
+    cawr_min_lr: float = 2e-7     # train.py:122
+    rlop_factor: float = 0.1      # train.py:125
+    rlop_patience: int = 25
+    rlop_min_lr: float = 2e-6
 
     params: Optional[Dict] = None
     opt_state: Optional[Dict] = None
     history: List[Dict] = field(default_factory=list)
 
     def __post_init__(self):
-        self.tx = optax.adamw(self.lr, weight_decay=self.wd,
-                              mask=no_decay_mask)
+        if self.scheduler not in (None, "cawr", "rlop"):
+            raise ValueError(f"unknown scheduler {self.scheduler!r}")
+        # unit-lr AdamW; the traced per-epoch lr scales the updates, which is
+        # exactly optax.adamw(lr) (wd is inside the scaled term there too)
+        self.tx = optax.adamw(1.0, weight_decay=self.wd, mask=no_decay_mask)
         self._step = None
+        self._rlop_lr = self.lr
+        self._rlop_best = float("inf")
+        self._rlop_bad = 0
+
+    def _epoch_lr(self, epoch: int) -> float:
+        """LR in effect for this epoch (schedulers advance per epoch)."""
+        if self.scheduler == "cawr":
+            from .optimizer import cosine_annealing_warmup_restarts
+
+            return float(cosine_annealing_warmup_restarts(
+                first_cycle_steps=self.cawr_first_cycle, max_lr=self.lr,
+                min_lr=self.cawr_min_lr,
+                warmup_steps=self.cawr_warmup)(epoch))
+        if self.scheduler == "rlop":
+            return self._rlop_lr
+        return self.lr
+
+    def _rlop_step(self, monitored: float) -> None:
+        """torch ReduceLROnPlateau(mode='min', factor, patience, min_lr)
+        semantics with the default rel threshold 1e-4."""
+        if monitored < self._rlop_best * (1.0 - 1e-4):
+            self._rlop_best, self._rlop_bad = monitored, 0
+        else:
+            self._rlop_bad += 1
+            if self._rlop_bad > self.rlop_patience:
+                self._rlop_lr = max(self._rlop_lr * self.rlop_factor,
+                                    self.rlop_min_lr)
+                self._rlop_bad = 0
 
     def _init(self, batch):
         self.params = self.model.init(
@@ -113,7 +155,7 @@ class TextClassifierTrainer:
             jnp.asarray(batch["attention_mask"]))["params"]
         self.opt_state = self.tx.init(self.params)
 
-        def step(params, opt_state, ids, mask, labels, rng):
+        def step(params, opt_state, ids, mask, labels, rng, lr):
             def loss_fn(p):
                 logits = self.model.apply({"params": p}, ids, mask,
                                           deterministic=False,
@@ -121,6 +163,7 @@ class TextClassifierTrainer:
                 return bce_with_logits(logits, labels)
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             return optax.apply_updates(params, updates), opt_state, loss
 
         self._step = jax.jit(step)
@@ -137,6 +180,7 @@ class TextClassifierTrainer:
         epochs = epochs or self.max_epochs
         for epoch in range(epochs):
             losses = []
+            lr_now = jnp.asarray(self._epoch_lr(epoch), jnp.float32)
             for bi, batch in enumerate(train_ds.batches(
                     self.tokenizer, self.batch_size, shuffle=True,
                     augment=train_ds.augment_prob > 0, seed=self.seed + epoch)):
@@ -148,10 +192,11 @@ class TextClassifierTrainer:
                     self.params, self.opt_state,
                     jnp.asarray(batch["input_ids"]),
                     jnp.asarray(batch["attention_mask"]),
-                    jnp.asarray(batch["labels"]), rng)
+                    jnp.asarray(batch["labels"]), rng, lr_now)
                 losses.append(float(loss))
 
-            record = {"epoch": epoch, "train_loss": float(np.mean(losses))}
+            record = {"epoch": epoch, "train_loss": float(np.mean(losses)),
+                      "lr": float(lr_now)}
             if valid_ds is not None and len(valid_ds):
                 probs, labels = self.predict_dataset(valid_ds)
                 preds = (probs >= self.threshold).astype(int)
@@ -170,6 +215,8 @@ class TextClassifierTrainer:
             else:
                 monitored = record["train_loss"]
             self.history.append(record)
+            if self.scheduler == "rlop":  # stepped on the epoch's test loss
+                self._rlop_step(monitored)  # (model_trainer.py:70-72)
 
             if monitored < best_loss:
                 best_loss, bad_epochs = monitored, 0

@@ -280,6 +280,10 @@ class CTClipTrainer:
             return
         df = evaluate_internal(np.stack(preds), np.stack(labels),
                                list(PATHOLOGIES))
-        out = self.results_folder / f"mini_eval_step{step}.csv"
-        df.to_csv(out, index=False)
+        # xlsx artifact like the reference's in-training eval
+        # (CTCLIPTrainer.py:266-327 writes aurocs_..xlsx); CSV fallback when
+        # no Excel engine is installed
+        from ..utils import write_table
+
+        write_table(df, self.results_folder / f"mini_eval_step{step}.xlsx")
         self.logger.log(step, mini_eval_mean_auc=float(df["mean_auc"].iloc[0]))

@@ -20,6 +20,19 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass
 
 
+def write_table(df, path) -> None:
+    """Excel when openpyxl/xlsxwriter is available, CSV fallback — air-gapped
+    parity with the reference's xlsx artifacts (scripts/zero_shot.py:161-165,
+    scripts/CTCLIPTrainer.py:266-327)."""
+    from pathlib import Path
+
+    path = Path(path)
+    try:
+        df.to_excel(path, index=False)
+    except Exception:  # noqa: BLE001 - missing engine
+        df.to_csv(path.with_suffix(".csv"), index=False)
+
+
 def tree_size_bytes(tree) -> int:
     import jax
     import numpy as np

@@ -72,6 +72,42 @@ def test_wordpiece_matches_hf_bert_tokenizer(vocab_file):
                                   np.asarray(enc_hf["attention_mask"]))
 
 
+def test_wordpiece_stress_goldens():
+    """Committed golden token ids over an adversarial vocab (accents/NFD
+    stripping, CJK isolation, punctuation runs, ##subwords, >100-char [UNK],
+    whitespace runs, empty string) — the air-gapped regression stand-in for
+    the CXR-BERT vocab path (scripts/CTCLIPTrainer.py:251; the real vocab
+    file is not redistributable, so the goldens pin HF BertTokenizer
+    behavior on every tokenizer feature that path exercises).  Goldens were
+    generated with transformers' BertTokenizer(vocab_file=..., do_lower_case
+    =True); when transformers is importable the test also re-verifies
+    against it live."""
+    import json
+    from pathlib import Path
+
+    d = Path(__file__).parent / "data"
+    golden = json.loads((d / "wordpiece_stress_golden.json").read_text())
+    vocab = str(d / "wordpiece_stress_vocab.txt")
+    ours = WordPieceTokenizer(vocab)
+
+    for text, toks in zip(golden["texts"], golden["tokens"]):
+        assert ours.tokenize(text) == toks, text
+    enc = ours(golden["texts"], padding="max_length", truncation=True,
+               max_length=24)
+    np.testing.assert_array_equal(enc["input_ids"],
+                                  np.asarray(golden["input_ids"]))
+    np.testing.assert_array_equal(enc["attention_mask"],
+                                  np.asarray(golden["attention_mask"]))
+
+    try:
+        from transformers import BertTokenizer
+    except Exception:  # noqa: BLE001 - air-gapped minimal env
+        return
+    hf = BertTokenizer(vocab_file=vocab, do_lower_case=True)
+    for text in golden["texts"]:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+
+
 def test_parse_xy_spacing():
     assert parse_xy_spacing("[0.75, 0.75]") == 0.75
     assert parse_xy_spacing("[1.25, 1.25]") == 1.25

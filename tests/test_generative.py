@@ -1,5 +1,6 @@
 """MaskGIT / MLM / SSL / text-classifier subsystem tests."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -177,6 +178,100 @@ def test_text_classifier_trainer(tmp_path):
     r = random.Random(0)
     shuffled = sentence_shuffle("One. Two. Three.", r, prob=1.0)
     assert sorted(shuffled.split()) == sorted("One. Two. Three.".split())
+
+
+def test_text_classifier_scheduler(tmp_path):
+    """Optional per-epoch LR schedules (text_classifier/train.py:126-140,
+    stepped per epoch as in model_trainer.py:66-72): cawr follows the
+    CosineAnnealingWarmupRestarts curve; rlop reduces on plateau with torch
+    semantics; and the unit-lr AdamW + traced-lr scaling is exactly
+    optax.adamw(lr)."""
+    import csv
+
+    import optax
+
+    from ct_clip_tpu.config import PATHOLOGIES
+    from ct_clip_tpu.data import WordPieceTokenizer
+    from ct_clip_tpu.models import RadBertClassifier
+    from ct_clip_tpu.train.optimizer import cosine_annealing_warmup_restarts
+    from ct_clip_tpu.train.text_classifier import (
+        ReportClassificationDataset, TextClassifierTrainer)
+
+    rows = []
+    for i in range(8):
+        row = {"report": "pleural effusion seen." if i % 2 == 0
+               else "clear lungs."}
+        row.update({p: ("1" if (i % 2 == 0 and j == 0) else "0")
+                    for j, p in enumerate(PATHOLOGIES)})
+        rows.append(row)
+    csv_path = tmp_path / "reports.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader(); w.writerows(rows)
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                             "pleural", "effusion", "seen", "clear", "lungs",
+                             "."]))
+    tok = WordPieceTokenizer(str(vp))
+    cfg = RadBertConfig(vocab_size=11, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=20, hidden_dropout=0.0,
+                        attention_dropout=0.0)
+    ds = ReportClassificationDataset(str(csv_path))
+
+    # cawr: per-epoch lr recorded in history matches the schedule
+    tr = TextClassifierTrainer(RadBertClassifier(cfg), tok, lr=5e-3,
+                               batch_size=8, scheduler="cawr",
+                               cawr_first_cycle=4, cawr_warmup=1,
+                               cawr_min_lr=1e-5)
+    result = tr.train(ds, epochs=3)
+    sched = cosine_annealing_warmup_restarts(first_cycle_steps=4, max_lr=5e-3,
+                                             min_lr=1e-5, warmup_steps=1)
+    got = [h["lr"] for h in result["history"]]
+    np.testing.assert_allclose(got, [sched(e) for e in range(3)], rtol=1e-6)
+
+    # rlop: torch ReduceLROnPlateau(min, factor, patience) semantics
+    tr2 = TextClassifierTrainer(RadBertClassifier(cfg), tok, lr=1e-3,
+                                scheduler="rlop", rlop_patience=1,
+                                rlop_factor=0.1, rlop_min_lr=1e-5)
+    tr2._rlop_step(1.0)   # first epoch sets best
+    tr2._rlop_step(1.0)   # bad 1 (not < best*(1-1e-4))
+    assert tr2._rlop_lr == 1e-3
+    tr2._rlop_step(1.0)   # bad 2 > patience -> reduce
+    assert tr2._rlop_lr == pytest.approx(1e-4)
+    tr2._rlop_step(0.5)   # improvement resets
+    assert tr2._rlop_bad == 0 and tr2._rlop_best == 0.5
+
+    # unit-lr AdamW scaled by the traced lr == optax.adamw(lr): one step on
+    # the real model params must match parameter-for-parameter
+    batch = next(iter(ds.batches(tok, 8, shuffle=False)))
+    tr3 = TextClassifierTrainer(RadBertClassifier(cfg), tok, lr=7e-4,
+                                batch_size=8)
+    tr3.train(ds, epochs=1)
+
+    from ct_clip_tpu.train.text_classifier import (bce_with_logits,
+                                                   no_decay_mask)
+
+    model = RadBertClassifier(cfg)
+    params = model.init(jax.random.PRNGKey(tr3.seed),
+                        jnp.asarray(batch["input_ids"]),
+                        jnp.asarray(batch["attention_mask"]))["params"]
+    tx = optax.adamw(7e-4, weight_decay=tr3.wd, mask=no_decay_mask)
+    opt_state = tx.init(params)
+    rng = jax.random.fold_in(jax.random.PRNGKey(tr3.seed), 0)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p},
+                             jnp.asarray(batch["input_ids"]),
+                             jnp.asarray(batch["attention_mask"]),
+                             deterministic=False, rngs={"dropout": rng})
+        return bce_with_logits(logits, jnp.asarray(batch["labels"]))
+
+    grads = jax.grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    want = optax.apply_updates(params, updates)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+                 tr3.params, want)
 
 
 def test_self_critic_scores_and_sampling():

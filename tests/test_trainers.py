@@ -147,7 +147,7 @@ def test_ctclip_trainer_e2e_with_auto_resume(tmp_path):
     assert int(state.step) == 2
     metrics = (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
     assert len(metrics) >= 2
-    evals = list((tmp_path / "run").glob("mini_eval_step*.csv"))
+    evals = list((tmp_path / "run").glob("mini_eval_step*.*"))
     assert evals, "mini zero-shot eval CSV missing"
     assert trainer.ckpt.latest_step == 2
 
@@ -235,7 +235,7 @@ def test_mini_eval_reuses_compiled_classifier(tmp_path):
                             results_folder=str(tmp_path / "run"),
                             num_workers=1, preprocess_fn=cheap_preprocess)
     trainer.train()  # 4 steps -> mini-eval at steps 2 and 4
-    evals = list((tmp_path / "run").glob("mini_eval_step*.csv"))
+    evals = list((tmp_path / "run").glob("mini_eval_step*.*"))
     assert len(evals) == 2, "expected two mini evals"
     clf = trainer._zero_shot
     assert clf is not None

@@ -43,12 +43,15 @@ def main() -> None:
     prompts = jnp.asarray(rng.rand(18, 2, cfg.dim_latent), jnp.bfloat16)
     temp = jnp.exp(variables["params"]["temperature"])
 
-    def score(variables, video, prompts):
+    # temp passed as an argument: a jit closure constant is embedded into
+    # the MLIR module via a device->host fetch — minutes through the tunnel
+    def score(variables, video, prompts, temp):
         latents, _ = model.apply(variables, video, method=CTCLIP.encode_image)
         logits = jnp.einsum("bd,pkd->bpk", latents, prompts) * temp
         return jax.nn.softmax(logits, axis=-1)[..., 0]
 
-    score_jit = jax.jit(score)
+    score4 = jax.jit(score)
+    score_jit = lambda v, vid, p: score4(v, vid, p, temp)
     video = jnp.asarray(rng.rand(batch, frames, size, size, 1) * 2 - 1,
                         jnp.bfloat16)
 
