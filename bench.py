@@ -11,8 +11,9 @@ Figures reported (one JSON line):
 * `mfu`: `value` against the analytic FLOP count of the scored graph and
   the chip's peak bf16 FLOP/s (CTCLIP_TPU_PEAK_TFLOPS, default 197 = v5e).
 * `device_pipeline_vol_per_s`: int16 (Z, Y, X) volumes already resident in
-  HBM -> on-device transpose -> fused preprocess (HU rescale/resample/crop)
-  -> batched encode + scoring.  The number a real PCIe-attached host is
+  HBM -> fused preprocess (HU rescale + matmul-form resample with the
+  relayout folded into the x-axis contraction + crop) -> batched encode +
+  scoring.  The number a real PCIe-attached host is
   bound by, and the honest proxy for the >=10 vol/s north-star on a box
   whose host->device path is a slow tunnel.
 * `h2d_MBps_ceiling`: measured host->device bandwidth (timed device_put of
