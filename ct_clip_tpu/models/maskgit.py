@@ -20,7 +20,7 @@ device-bound work on static shapes, so XLA caches a single executable).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -235,6 +235,36 @@ def critic_train_loss(critic: TokenCritic, critic_vars, rng, codebook_ids,
     return -jnp.mean(labels * logp + (1 - labels) * lognotp)
 
 
+@lru_cache(maxsize=8)
+def _sampler_fwd(maskgit: MaskGit, video_patch_shape: Tuple[int, int, int]):
+    """Jitted generator forward for the sampler, cached across sample()
+    calls (flax modules hash by value, so identical configs share the
+    executable).  Repeated sample()/make_video() calls compile nothing."""
+
+    @partial(jax.jit, static_argnames=("cond_drop_prob",))
+    def fwd(variables, input_ids, context, text_mask, drop_rng,
+            cond_drop_prob: float):
+        return maskgit.apply(variables, input_ids, video_patch_shape,
+                             context=context, text_mask=text_mask,
+                             cond_drop_rng=drop_rng,
+                             cond_drop_prob=cond_drop_prob)
+
+    return fwd
+
+
+@lru_cache(maxsize=8)
+def _sampler_critic(critic, video_patch_shape: Tuple[int, int, int]):
+    """Jitted critic scoring for the sampler (was un-jitted: one eager
+    dispatch chain per demask step)."""
+
+    @jax.jit
+    def score(critic_vars, input_ids, context, text_mask):
+        return critic.apply(critic_vars, input_ids, video_patch_shape,
+                            context=context, text_mask=text_mask)
+
+    return score
+
+
 def sample_tokens(maskgit: MaskGit, variables, rng,
                   video_patch_shape: Tuple[int, int, int], batch_size: int = 1,
                   context=None, text_mask=None, steps: int = 18,
@@ -253,13 +283,12 @@ def sample_tokens(maskgit: MaskGit, variables, rng,
     mask = jnp.ones((batch_size, n), bool)
     scores = None
 
-    def fwd(input_ids, cond_drop_prob, drop_rng):
-        return maskgit.apply(variables, input_ids, video_patch_shape,
-                             context=context, text_mask=text_mask,
-                             cond_drop_rng=drop_rng,
-                             cond_drop_prob=cond_drop_prob)
-
-    fwd = jax.jit(fwd, static_argnames=("cond_drop_prob",))
+    fwd_jit = _sampler_fwd(maskgit, video_patch_shape)
+    fwd = lambda input_ids, cond_drop_prob, drop_rng: fwd_jit(
+        variables, input_ids, context, text_mask, drop_rng,
+        cond_drop_prob=cond_drop_prob)
+    critic_fn = (_sampler_critic(critic, video_patch_shape)
+                 if critic is not None else None)
 
     for step in range(steps):
         rng, r_gumbel, r_drop, r_noise = jax.random.split(rng, 4)
@@ -291,9 +320,7 @@ def sample_tokens(maskgit: MaskGit, variables, rng,
             if critic is not None:
                 critic_in = ids if prime_token_ids is None else jnp.concatenate(
                     [prime_token_ids, ids], axis=-1)
-                scores = critic.apply(critic_vars, critic_in,
-                                      video_patch_shape, context=context,
-                                      text_mask=text_mask)
+                scores = critic_fn(critic_vars, critic_in, context, text_mask)
                 if prime_len:
                     scores = scores[:, prime_len:]
                 noise = noise_K * (jax.random.uniform(r_noise, scores.shape)
