@@ -33,6 +33,17 @@ def _load():
                                ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.POINTER(ctypes.c_float)]
+    lib.nifti_read_par.restype = ctypes.c_int64
+    lib.nifti_read_par.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int32]
+    lib.nifti_recompress.restype = ctypes.c_int64
+    lib.nifti_recompress.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                     ctypes.c_int64, ctypes.c_int32,
+                                     ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -52,9 +63,14 @@ def build(quiet: bool = True) -> bool:
     return res.returncode == 0 and _LIB_PATH.exists()
 
 
-def read_volume_native(path: str) -> Optional[Tuple[np.ndarray, Tuple[float, ...], float, float]]:
+def read_volume_native(path: str, threads: int = 1,
+                       ) -> Optional[Tuple[np.ndarray, Tuple[float, ...], float, float]]:
     """Returns (volume[x,y,z...], pixdim(3,), scl_slope, scl_inter) or None
-    if the native library is unavailable.  Raises on decode errors."""
+    if the native library is unavailable.  Raises on decode errors.
+
+    `threads > 1` parallelises the gunzip of a single file when it is an
+    indexed multi-member gzip (see `recompress`); plain .nii.gz stays serial
+    because DEFLATE streams cannot be split."""
     lib = _load()
     if lib is None:
         return None
@@ -64,12 +80,29 @@ def read_volume_native(path: str) -> Optional[Tuple[np.ndarray, Tuple[float, ...
     if count < 0:
         raise ValueError(f"nifti_probe({path}) failed with code {count}")
     out = np.empty(count, np.float32)
-    got = lib.nifti_read(path.encode(),
-                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                         count, shape, meta)
+    got = lib.nifti_read_par(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        count, shape, meta, max(1, int(threads)))
     if got != count:
         raise ValueError(f"nifti_read({path}) failed with code {got}")
     ndim = shape[0]
     dims = tuple(shape[1 + i] for i in range(ndim))
     vol = out.reshape(dims, order="F")
     return vol, (meta[0], meta[1], meta[2]), float(meta[3]), float(meta[4])
+
+
+def recompress(src: str, dst: str, *, chunk_bytes: int = 4 << 20,
+               level: int = 6, threads: int = 0) -> int:
+    """Rewrite a .nii/.nii.gz as an indexed multi-member gzip (still a valid
+    .nii.gz for any reader) whose members can be inflated in parallel.
+    Returns the uncompressed byte count.  threads=0 -> all cores."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libnifti_fast.so not built; run native.build()")
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    ret = lib.nifti_recompress(src.encode(), dst.encode(), chunk_bytes,
+                               level, threads)
+    if ret < 0:
+        raise ValueError(f"nifti_recompress({src}) failed with code {ret}")
+    return int(ret)

@@ -101,9 +101,160 @@ bool parse_header(const uint8_t* buf, size_t len, Header* h) {
   return true;
 }
 
-// Inflate a gzip stream (or pass through raw bytes).
-bool maybe_gunzip(std::vector<uint8_t>& data) {
+// ---------------------------------------------------------------------------
+// Indexed multi-member gzip ("CT" FEXTRA subfield).
+//
+// A single-member gzip stream cannot be inflated in parallel (each deflate
+// block depends on the 32 KB window before it; even pigz decompresses
+// serially).  For corpora prepared with `nifti_recompress`, the file is
+// written as concatenated gzip members of `chunk` uncompressed bytes, each
+// carrying an FEXTRA subfield SI1='C' SI2='T' LEN=4 with the member's TOTAL
+// compressed byte count — so a reader can hop header-to-header without
+// inflating, build the member table from the headers + per-member ISIZE
+// trailers, and inflate all members concurrently.  (Same design as htslib's
+// BGZF "BC" subfield, generalised to MB-scale chunks.)
+// ---------------------------------------------------------------------------
+
+struct GzMember {
+  size_t offset;   // byte offset of the member in the file
+  size_t csize;    // total compressed bytes (header + deflate + trailer)
+  size_t usize;    // uncompressed bytes (ISIZE; exact for members < 4 GB)
+};
+
+bool read_file(const char* path, std::vector<uint8_t>& data);
+
+// Parse one member header at data+off; if it carries the CT subfield,
+// fill *m (usize from the trailer) and return true.
+bool parse_ct_member(const uint8_t* data, size_t len, size_t off,
+                     GzMember* m) {
+  if (off + 20 > len) return false;
+  const uint8_t* p = data + off;
+  if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8) return false;
+  if (!(p[3] & 4)) return false;  // no FEXTRA
+  uint16_t xlen;
+  std::memcpy(&xlen, p + 10, 2);
+  size_t xend = off + 12 + xlen;
+  if (xend > len) return false;
+  size_t q = off + 12;
+  while (q + 4 <= xend) {
+    uint16_t sublen;
+    std::memcpy(&sublen, data + q + 2, 2);
+    if (data[q] == 'C' && data[q + 1] == 'T' && sublen == 4) {
+      uint32_t csize;
+      std::memcpy(&csize, data + q + 4, 4);
+      if (csize < 20 || off + csize > len) return false;
+      uint32_t isize;
+      std::memcpy(&isize, data + off + csize - 4, 4);
+      m->offset = off;
+      m->csize = csize;
+      m->usize = isize;
+      return true;
+    }
+    q += 4 + sublen;
+  }
+  return false;
+}
+
+// Build the member table; empty result means "not an indexed file".
+std::vector<GzMember> index_members(const uint8_t* data, size_t len) {
+  std::vector<GzMember> members;
+  size_t off = 0;
+  while (off < len) {
+    GzMember m;
+    if (!parse_ct_member(data, len, off, &m)) return {};
+    members.push_back(m);
+    off += m.csize;
+  }
+  return members;
+}
+
+bool inflate_span(const uint8_t* src, size_t csize, uint8_t* dst,
+                  size_t usize) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)csize;
+  zs.next_out = dst;
+  zs.avail_out = (uInt)usize;
+  int ret = inflate(&zs, Z_FINISH);
+  bool ok = (ret == Z_STREAM_END && zs.avail_out == 0);
+  inflateEnd(&zs);
+  return ok;
+}
+
+// Parallel inflate of an indexed file into out (size = sum of usize).
+bool gunzip_indexed(const uint8_t* data, size_t len,
+                    const std::vector<GzMember>& members, uint8_t* out,
+                    int threads) {
+  std::vector<size_t> out_off(members.size());
+  size_t total = 0;
+  for (size_t i = 0; i < members.size(); i++) {
+    out_off[i] = total;
+    total += members[i].usize;
+  }
+  std::atomic<int32_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    while (ok.load(std::memory_order_relaxed)) {
+      int32_t i = next.fetch_add(1);
+      if ((size_t)i >= members.size()) break;
+      const GzMember& m = members[i];
+      if (!inflate_span(data + m.offset, m.csize, out + out_off[i], m.usize))
+        ok.store(false);
+    }
+  };
+  int nt = threads > 1 ? threads : 1;
+  if ((size_t)nt > members.size()) nt = (int)members.size();
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return ok.load();
+}
+
+size_t members_total_usize(const std::vector<GzMember>& members) {
+  size_t total = 0;
+  for (const auto& m : members) total += m.usize;
+  return total;
+}
+
+// Inflate a gzip stream (or pass through raw bytes).  `threads` bounds the
+// intra-file parallelism — only indexed multi-member files can use >1.
+// `max_bytes >= 0` stops once that many decompressed bytes are available
+// (header probes need 352 bytes, not the whole 150 MB volume).
+bool maybe_gunzip(std::vector<uint8_t>& data, int threads,
+                  int64_t max_bytes = -1) {
   if (data.size() < 2 || data[0] != 0x1f || data[1] != 0x8b) return true;
+  {  // indexed multi-member file: exact output size known up front
+    auto members = index_members(data.data(), data.size());
+    if (!members.empty()) {
+      if (max_bytes >= 0) {  // prefix read: inflate only the needed members
+        size_t need = (size_t)max_bytes, have = 0;
+        std::vector<GzMember> prefix;
+        for (const auto& m : members) {
+          prefix.push_back(m);
+          have += m.usize;
+          if (have >= need) break;
+        }
+        std::vector<uint8_t> out(have);
+        if (!gunzip_indexed(data.data(), data.size(), prefix, out.data(),
+                            threads))
+          return false;
+        data = std::move(out);
+        return true;
+      }
+      std::vector<uint8_t> out(members_total_usize(members));
+      if (!gunzip_indexed(data.data(), data.size(), members, out.data(),
+                          threads))
+        return false;
+      data = std::move(out);
+      return true;
+    }
+  }
   std::vector<uint8_t> out;
   out.reserve(data.size() * 4);
   z_stream zs;
@@ -122,10 +273,99 @@ bool maybe_gunzip(std::vector<uint8_t>& data) {
       return false;
     }
     out.insert(out.end(), chunk, chunk + (sizeof(chunk) - zs.avail_out));
+    if (max_bytes >= 0 && (int64_t)out.size() >= max_bytes) break;
   }
   inflateEnd(&zs);
   data = std::move(out);
   return true;
+}
+
+// ---------------------------------------------------------------------------
+// Recompression: plain .nii/.nii.gz -> indexed multi-member gzip.
+// Members are compressed concurrently (raw deflate + hand-built gzip
+// framing), so both directions of the format are parallel.
+// ---------------------------------------------------------------------------
+
+constexpr size_t kMemberHeader = 20;  // 10 fixed + XLEN(2) + "CT" subfield(8)
+constexpr size_t kMemberTrailer = 8;  // CRC32 + ISIZE
+
+// Compress one chunk into a self-describing gzip member.
+bool deflate_member(const uint8_t* src, size_t usize, int level,
+                    std::vector<uint8_t>& out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  // raw deflate: we write the gzip framing ourselves (header needs csize)
+  if (deflateInit2(&zs, level, Z_DEFLATED, -MAX_WBITS, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK)
+    return false;
+  size_t bound = deflateBound(&zs, (uLong)usize);
+  out.resize(kMemberHeader + bound + kMemberTrailer);
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)usize;
+  zs.next_out = out.data() + kMemberHeader;
+  zs.avail_out = (uInt)bound;
+  int ret = deflate(&zs, Z_FINISH);
+  size_t dsize = zs.total_out;
+  deflateEnd(&zs);
+  if (ret != Z_STREAM_END) return false;
+
+  size_t csize = kMemberHeader + dsize + kMemberTrailer;
+  if (csize > 0xffffffffu) return false;  // FEXTRA field is u32
+  uint8_t* h = out.data();
+  const uint8_t fixed[12] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff, 8, 0};
+  std::memcpy(h, fixed, 12);  // FLG=FEXTRA, mtime 0, OS unknown, XLEN=8
+  h[12] = 'C'; h[13] = 'T'; h[14] = 4; h[15] = 0;
+  uint32_t c32 = (uint32_t)csize;
+  std::memcpy(h + 16, &c32, 4);
+  uint32_t crc = crc32(0, src, (uInt)usize);
+  uint32_t is32 = (uint32_t)usize;
+  std::memcpy(out.data() + kMemberHeader + dsize, &crc, 4);
+  std::memcpy(out.data() + kMemberHeader + dsize + 4, &is32, 4);
+  out.resize(csize);
+  return true;
+}
+
+int64_t recompress_impl(const char* src_path, const char* dst_path,
+                        int64_t chunk, int level, int threads) {
+  std::vector<uint8_t> data;
+  if (!read_file(src_path, data)) return -1;
+  if (!maybe_gunzip(data, threads)) return -2;
+  if (chunk <= 0) chunk = 4 << 20;
+  size_t n = (data.size() + chunk - 1) / chunk;
+  if (n == 0) n = 1;
+  std::vector<std::vector<uint8_t>> members(n);
+  std::atomic<int32_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    while (ok.load(std::memory_order_relaxed)) {
+      int32_t i = next.fetch_add(1);
+      if ((size_t)i >= n) break;
+      size_t off = (size_t)i * chunk;
+      size_t usize = std::min((size_t)chunk, data.size() - off);
+      if (!deflate_member(data.data() + off, usize, level, members[i]))
+        ok.store(false);
+    }
+  };
+  int nt = threads > 1 ? threads : 1;
+  if ((size_t)nt > n) nt = (int)n;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  if (!ok.load()) return -3;
+  FILE* f = std::fopen(dst_path, "wb");
+  if (!f) return -4;
+  for (const auto& m : members) {
+    if (std::fwrite(m.data(), 1, m.size(), f) != m.size()) {
+      std::fclose(f);
+      return -5;
+    }
+  }
+  std::fclose(f);
+  return (int64_t)data.size();
 }
 
 bool read_file(const char* path, std::vector<uint8_t>& data) {
@@ -188,10 +428,14 @@ void decode_f64(const uint8_t* src, float* dst, int64_t n, bool swap,
 }
 
 int64_t read_impl(const char* path, float* out, int64_t capacity,
-                  int32_t* shape_out, float* meta_out, bool decode) {
+                  int32_t* shape_out, float* meta_out, bool decode,
+                  int threads) {
   std::vector<uint8_t> data;
   if (!read_file(path, data)) return -1;
-  if (!maybe_gunzip(data)) return -2;
+  // Probes only need the 348-byte header (+4 ext flag): on indexed files the
+  // prefix read inflates one member instead of the whole 150 MB volume.
+  int64_t max_bytes = decode ? -1 : (int64_t)(kHeaderSize + 4);
+  if (!maybe_gunzip(data, threads, max_bytes)) return -2;
   Header h;
   if (!parse_header(data.data(), data.size(), &h)) return -3;
 
@@ -247,33 +491,53 @@ int64_t read_impl(const char* path, float* out, int64_t capacity,
 extern "C" {
 
 int64_t nifti_probe(const char* path, int32_t* shape_out, float* meta_out) {
-  return read_impl(path, nullptr, 0, shape_out, meta_out, false);
+  return read_impl(path, nullptr, 0, shape_out, meta_out, false, 1);
 }
 
 int64_t nifti_read(const char* path, float* out, int64_t capacity,
                    int32_t* shape_out, float* meta_out) {
-  return read_impl(path, out, capacity, shape_out, meta_out, true);
+  return read_impl(path, out, capacity, shape_out, meta_out, true, 1);
+}
+
+// Like nifti_read, but inflates indexed multi-member files with up to
+// `threads` concurrent workers (plain .gz stays serial — see maybe_gunzip).
+int64_t nifti_read_par(const char* path, float* out, int64_t capacity,
+                       int32_t* shape_out, float* meta_out, int32_t threads) {
+  return read_impl(path, out, capacity, shape_out, meta_out, true,
+                   threads > 0 ? threads : 1);
 }
 
 void nifti_read_batch(const char** paths, int32_t n, float** outs,
                       const int64_t* capacities, int32_t* shapes,
                       float* metas, int64_t* results, int32_t num_threads) {
+  // Threads parallelise ACROSS volumes; when there are more threads than
+  // volumes, the surplus goes INTO each volume's inflate (indexed files).
+  int32_t outer = num_threads > 1 ? std::min(num_threads, n) : 1;
+  int32_t inner = outer > 0 ? std::max(1, num_threads / outer) : 1;
   std::atomic<int32_t> next(0);
   auto worker = [&]() {
     while (true) {
       int32_t i = next.fetch_add(1);
       if (i >= n) break;
-      results[i] = nifti_read(paths[i], outs[i], capacities[i],
-                              shapes + 8 * i, metas + 8 * i);
+      results[i] = read_impl(paths[i], outs[i], capacities[i], shapes + 8 * i,
+                             metas + 8 * i, true, inner);
     }
   };
-  if (num_threads <= 1) {
+  if (outer <= 1) {
     worker();
     return;
   }
   std::vector<std::thread> threads;
-  for (int32_t t = 0; t < num_threads; t++) threads.emplace_back(worker);
+  for (int32_t t = 0; t < outer; t++) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
+}
+
+// Rewrite src (.nii or .nii.gz) as an indexed multi-member gzip at dst.
+// Returns the uncompressed byte count, or a negative error code.
+int64_t nifti_recompress(const char* src_path, const char* dst_path,
+                         int64_t chunk, int32_t level, int32_t threads) {
+  return recompress_impl(src_path, dst_path, chunk, level,
+                         threads > 0 ? threads : 1);
 }
 
 }  // extern "C"

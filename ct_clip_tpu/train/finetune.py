@@ -81,8 +81,23 @@ def vocabfine_loss(model: CTCLIP, variables, prompt_ids, prompt_mask, video,
     return loss, new_vars
 
 
-def make_vocabfine_step(model: CTCLIP, tx: optax.GradientTransformation):
+def make_vocabfine_step(model: CTCLIP, tx: optax.GradientTransformation,
+                        mesh=None, data_axis: str = "data"):
+    """One jitted full-model update.  With `mesh`, the volume/label batch is
+    sharded over the data axis (the per-example prompt-pair loss needs no
+    cross-example gather; XLA inserts the gradient psum) and params/moments
+    keep their current placement — pair with `shard_params` /
+    `shard_opt_state` for ZeRO-1 moments.  The reference fine-tune is
+    single-GPU with DataParallel (ct_vocabfine_train.py:62)."""
+
     def step(params, vq, opt_state, prompt_ids, prompt_mask, video, labels, rng):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bs = NamedSharding(mesh, P(data_axis))
+            video = jax.lax.with_sharding_constraint(video, bs)
+            labels = jax.lax.with_sharding_constraint(labels, bs)
+
         def loss_fn(p):
             loss, new_vars = vocabfine_loss(
                 model, {"params": p, "vq": vq}, prompt_ids, prompt_mask,
@@ -95,7 +110,7 @@ def make_vocabfine_step(model: CTCLIP, tx: optax.GradientTransformation):
         params = optax.apply_updates(params, updates)
         return params, new_vq, opt_state, loss
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0, 2))
 
 
 # --------------------------------------------------------------------------
@@ -125,7 +140,8 @@ def bce_with_logits(logits, labels, pos_weight=None):
     return jnp.mean(loss)
 
 
-def make_lipro_latent_fn(model: CTCLIP, variables) -> Callable:
+def make_lipro_latent_fn(model: CTCLIP, variables, mesh=None,
+                         data_axis: str = "data") -> Callable:
     """Frozen-backbone latent extractor: video -> (B, dim_latent).  The
     reference passes a single-space text (" ") it then ignores
     (ct_lipro_train.py:96); only image latents feed the head.
@@ -133,13 +149,22 @@ def make_lipro_latent_fn(model: CTCLIP, variables) -> Callable:
     `variables` is threaded as a jit ARGUMENT: closing over the full weight
     tree would embed ~1.2 GB of MLIR constants via device->host fetches at
     lowering time (minutes through a chip tunnel, and an unshareable
-    executable)."""
+    executable).
 
-    @jax.jit
+    With `mesh`, the video batch is sharded over the data axis so latent
+    extraction for the whole dataset scales across chips (the reference
+    wraps the frozen tower in DataParallel, ct_lipro_train.py:75)."""
+
     def latent_fn(vars_, video):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            video = jax.lax.with_sharding_constraint(
+                video, NamedSharding(mesh, P(data_axis)))
         latents, _ = model.apply(vars_, video, method=CTCLIP.encode_image)
         return jax.lax.stop_gradient(latents)
 
+    latent_fn = jax.jit(latent_fn)
     return lambda video: latent_fn(variables, video)
 
 
@@ -176,14 +201,17 @@ def train_vocabfine(model: CTCLIP, variables, tokenizer, dataset, *,
                     lr: float = 1e-5, wd: float = 0.1, epochs: int = 1,
                     warmup_length: int = 500, batch_size: int = 1,
                     num_workers: int = 8, seed: int = 0,
-                    compute_dtype=jnp.float32, max_steps: Optional[int] = None):
+                    compute_dtype=jnp.float32, max_steps: Optional[int] = None,
+                    mesh=None, mesh_cfg=None):
     """End-to-end VocabFine harness (ct_vocabfine_train.py:22-176): every
     parameter trains (requires_grad=True for all, :46-50), AdamW + cosine_lr
     warmup schedule (:68-69), prompt-pair MSE via `vocabfine_loss`.
 
     TPU-native: the 36 prompts are tokenized once (they only depend on the
     pathology list; GT labels reorder pair elements inside the loss), volumes
-    are batched, and the whole update is one jitted step.
+    are batched, and the whole update is one jitted step.  With `mesh`
+    (+ optional MeshConfig) the batch shards over the data axis and the
+    full-model AdamW moments shard ZeRO-1 style via `shard_opt_state`.
 
     Returns (variables, history)."""
     from ..data.loader import VolumeLoader, preprocess_sample
@@ -199,7 +227,19 @@ def train_vocabfine(model: CTCLIP, variables, tokenizer, dataset, *,
     tx = optax.adamw(schedule, weight_decay=wd)
     params, vq = variables["params"], variables.get("vq", {})
     opt_state = tx.init(params)
-    step_fn = make_vocabfine_step(model, tx)
+    data_axis = "data"
+    if mesh is not None:
+        from ..config import MeshConfig
+        from ..parallel.mesh import shard_opt_state, shard_params
+
+        mesh_cfg = mesh_cfg or MeshConfig(fsdp="zero1")
+        data_axis = mesh_cfg.data_axis
+        params = shard_params(params, mesh, mesh_cfg)
+        vq = jax.tree.map(
+            lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec())), vq)
+        opt_state = shard_opt_state(opt_state, params, mesh, mesh_cfg)
+    step_fn = make_vocabfine_step(model, tx, mesh=mesh, data_axis=data_axis)
 
     history = []
     step = 0

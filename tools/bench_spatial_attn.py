@@ -13,6 +13,10 @@ from functools import partial
 
 sys.path.insert(0, ".")
 
+from ct_clip_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,15 +30,26 @@ SCALE = 8.0
 DT = jnp.bfloat16
 
 
+def _sync(out):
+    """block_until_ready does not reliably block through the axon tunnel;
+    materializing a tiny slice does (verify skill, round-1 finding)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * (leaf.ndim - 1)][:1])
+
+
 def timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1e3
+    _sync(out)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        dt = (time.time() - t0) / iters * 1e3
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main():
