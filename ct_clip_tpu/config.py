@@ -141,6 +141,12 @@ class CTCLIPConfig(_Base):
     text_ssl_loss_weight: float = 0.05
     use_visual_ssl: bool = False
     visual_ssl_type: str = "simsiam"  # or "simclr" (ct_clip.py:516-528)
+    # NetWrapper hidden-layer tap equivalent (ct_clip.py:444 + visual_ssl.py
+    # :141-203): "temporal" = temporal-transformer token output (default),
+    # "spatial" = spatial-transformer token output, "pooled" = the temporal-
+    # mean pooled embedding.  Token taps flatten to (b*n, d) rows like the
+    # reference's NetWrapper flatten.
+    visual_ssl_tap: str = "temporal"
     image_ssl_loss_weight: float = 0.05
     multiview_loss_weight: float = 0.1
     temperature_init: float = 1.0

@@ -69,6 +69,28 @@ def preprocess_sample(sample: "RawSample", clip_before_resample: bool,
         input_layout=sample.layout, out_dtype=out_dtype, **kwargs)
 
 
+def preprocess_sample_rows(sample: "RawSample", clip_before_resample: bool,
+                           out_dtype=None, temporal_patch_size: int = 10,
+                           patch_size: int = 20, **kwargs):
+    """RawSample -> (n_tokens, patch_dim) patch rows on device — the model's
+    native ingest format (ops/resample.preprocess_to_patch_rows): the
+    patchify shuffle runs once here instead of in every encode step."""
+    import jax.numpy as jnp
+
+    from ..ops.resample import preprocess_to_patch_rows
+
+    true = sample.true_sizes
+    if sample.layout == "zyx":
+        true = true[[0, 2, 1]]  # semantic (z, x, y) order
+    return preprocess_to_patch_rows(
+        jnp.asarray(sample.vol), jnp.asarray(sample.spacing),
+        jnp.float32(sample.slope), jnp.float32(sample.intercept),
+        true_sizes=jnp.asarray(true),
+        clip_before_resample=clip_before_resample,
+        temporal_patch_size=temporal_patch_size, patch_size=patch_size,
+        input_layout=sample.layout, out_dtype=out_dtype, **kwargs)
+
+
 class VolumeLoader:
     """Iterates RawSamples with `num_workers` reader threads and a bounded
     prefetch queue.  Shuffling + infinite cycling for training."""

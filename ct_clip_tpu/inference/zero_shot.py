@@ -142,11 +142,22 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
                   num_workers: int = 8,
                   pathologies: Sequence[str] = PATHOLOGIES,
                   save_artifacts: bool = True,
-                  mesh=None) -> Dict[str, np.ndarray]:
+                  mesh=None,
+                  patch_rows: Optional[bool] = None) -> Dict[str, np.ndarray]:
     """Full CTClipInference.infer equivalent: iterate the dataset, score all
-    volumes, dump npz + accession list + AUROC table (zero_shot.py:149-165)."""
-    from ..data.loader import VolumeLoader, preprocess_sample
+    volumes, dump npz + accession list + AUROC table (zero_shot.py:149-165).
+
+    `patch_rows` (default: auto — on for TPU backends): preprocess emits the
+    model's native patch-major rows, so each scored step skips the patchify
+    shuffle (~1.4 ms/volume at production shape)."""
+    from ..data.loader import (VolumeLoader, preprocess_sample,
+                               preprocess_sample_rows)
     from ..evals.metrics import evaluate_internal
+
+    if patch_rows is None:  # auto: rows need the CTViT tower's embed path
+        patch_rows = (jax.default_backend() == "tpu"
+                      and model.image_encoder is None)
+    vcfg = model.config.ctvit
 
     clf = ZeroShotClassifier(model, variables, tokenizer, pathologies,
                              mesh=mesh)
@@ -157,6 +168,17 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
     preds, labels, names = [], [], []
     buf = []
     for sample in loader:
+        if patch_rows:
+            vol = preprocess_sample_rows(
+                sample, dataset.clip_before_resample,
+                out_dtype=getattr(model, "dtype", None),
+                temporal_patch_size=vcfg.temporal_patch_size,
+                patch_size=vcfg.patch_size)
+            buf.append((vol, sample.meta))
+            if len(buf) == batch_size:
+                _flush(clf, buf, preds, labels, names)
+                buf = []
+            continue
         vol = preprocess_sample(sample, dataset.clip_before_resample,
                                 out_dtype=getattr(model, "dtype", None))
         buf.append((vol[..., None], sample.meta))

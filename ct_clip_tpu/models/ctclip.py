@@ -189,15 +189,28 @@ class CTCLIP(nn.Module):
             from .visual_ssl import SimCLR, SimSiam
 
             def image_embed(video):
-                # train=False: codebook EMA updates happen only in the main
-                # image pass, not in the SSL augmented views
-                tokens = self._image_tokens(video, False, False)
-                pooled = jnp.mean(tokens, axis=1)
-                # mean over all token positions -> (b, token dim); the
-                # reference taps a NetWrapper hidden layer of the tower
-                # (visual_ssl.py:141-203) — the token dim is that tap here
-                return pooled.reshape(pooled.shape[0], -1,
-                                      tokens.shape[-1]).mean(axis=1)
+                # NetWrapper hidden-layer tap (visual_ssl.py:141-203,
+                # configured like ct_clip.py:444's visual_ssl_hidden_layer):
+                # train=False keeps codebook EMA updates out of the SSL
+                # augmented views; deterministic=False keeps dropout live.
+                tap = cfg.visual_ssl_tap
+                if self.image_encoder is not None:
+                    tokens = self.image_encoder(video, deterministic=False)
+                    return jnp.mean(tokens, axis=1)
+                vt = self.visual_transformer
+                tokens = vt.embed_patches(video.astype(vt.dtype), train=False)
+                b, t, h, w, d = tokens.shape
+                if tap == "spatial":  # spatial-transformer token output
+                    bias = vt.spatial_rel_pos_bias(h, w)
+                    x = tokens.reshape(b * t, h * w, d)
+                    return vt.enc_spatial_transformer(
+                        x, video_shape=(b, t, h, w), attn_bias=bias,
+                        deterministic=False)
+                x = vt.encode(tokens, deterministic=False)
+                if tap == "pooled":  # temporal-mean pooled embedding
+                    return jnp.mean(x.reshape(b, -1, d), axis=1)
+                assert tap == "temporal", f"unknown visual_ssl_tap {tap!r}"
+                return x  # temporal-transformer token output (pre-VQ)
 
             ssl_cls = SimSiam if cfg.visual_ssl_type == "simsiam" else SimCLR
             self.visual_ssl = ssl_cls(encode_fn=image_embed,
@@ -327,6 +340,9 @@ class CTCLIP(nn.Module):
                                 rng=self.make_rng("mlm"))
             loss = loss + text_ssl * cfg.text_ssl_loss_weight
         if cfg.use_visual_ssl and video is not None:
+            assert video.ndim == 5, \
+                "visual SSL needs the raw (b, f, H, W, c) video (3D augs); " \
+                "feed volumes, not patch rows, when use_visual_ssl is on"
             image_ssl = self.visual_ssl(video, self.make_rng("ssl"))
             loss = loss + image_ssl * cfg.image_ssl_loss_weight
         if is_multiview:

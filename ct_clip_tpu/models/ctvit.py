@@ -108,6 +108,12 @@ class CTViT(nn.Module):
         """Fused patchify + patch-LN + projection + LN:
         (b, f, H, W, c) -> (b, t, h, w, dim).
 
+        A 3-D input (b, t*h*w, patch_dim) is accepted as pre-shuffled
+        patch-major rows (the ingest pipeline's native output,
+        ops/resample.py preprocess_to_patch_rows): the lane-offset patchify
+        shuffle is skipped and the chain is one fused LN -> projection -> LN
+        kernel.
+
         Replicates to_patch_emb (ctvit.py:170-175: Rearrange to
         '(c pt p1 p2)' patches -> LayerNorm(4000) -> Linear(4000, 512) ->
         LayerNorm(512)).  The rearrange is done as ONE flat gather with a
@@ -117,11 +123,26 @@ class CTViT(nn.Module):
         at production shape vs 2 GB for the gather).  After the gather
         everything is dense (b, 13824, 4000) MXU work."""
         cfg = self.config
-        b, f, H, W, c = video.shape
         pt, p = cfg.temporal_patch_size, cfg.patch_size
-        t, h, w = f // pt, H // p, W // p
-
         s2, b2 = self.patch_norm_out()
+
+        if video.ndim == 3:  # pre-shuffled patch rows
+            from ..ops.pallas.patchify import _xla_row_embed, fused_row_embed
+
+            b, n, patch_dim = video.shape
+            assert patch_dim == cfg.patch_dim, \
+                f"patch rows last dim {patch_dim} != {cfg.patch_dim}"
+            t = cfg.num_frames // pt
+            h = w = cfg.image_size // p
+            assert n == t * h * w, f"patch rows {n} != {t}*{h}*{w}"
+            embed = _xla_row_embed if train else fused_row_embed
+            tokens = embed(video, self.patch_norm_in_scale,
+                           self.patch_norm_in_bias, self.patch_proj_kernel,
+                           self.patch_proj_bias, s2, b2, 1e-5, self.dtype)
+            return tokens.reshape(b, t, h, w, cfg.dim)
+
+        b, f, H, W, c = video.shape
+        t, h, w = f // pt, H // p, W // p
         if c == 1:
             from ..ops.pallas.patchify import (_xla_patch_embed,
                                                fused_patch_embed)
@@ -174,7 +195,9 @@ class CTViT(nn.Module):
         (quantized, indices, commit_loss).  `return_encoded_tokens=True` is
         the production CLIP path (ct_clip.py:715)."""
         cfg = self.config
-        assert video.shape[2] == cfg.image_size and video.shape[3] == cfg.image_size
+        if video.ndim != 3:  # 3-D = pre-shuffled patch rows (embed_patches)
+            assert video.shape[2] == cfg.image_size \
+                and video.shape[3] == cfg.image_size
 
         tokens = self.embed_patches(video.astype(self.dtype), train=train)
         tokens = self.encode(tokens, deterministic, spatial_bias)

@@ -450,6 +450,242 @@ def _pe_fwd(video, s1, b1, wi, pbias, s2, b2, pt, p, eps, dtype):
     return out, (video, s1, b1, wi, pbias, s2, b2)
 
 
+# ------------------------------------------------- patch-ROW fused embed
+# Same LN -> projection -> LN chain, but the input is already the
+# (b, n_tokens, patch_dim) patch-row tensor — the ingest pipeline emits
+# patch-major rows straight out of the fused preprocess (rearrange_patches
+# as the last ingest stage), so the scored step never pays the lane-offset
+# shuffle (~1.4 ms/volume at production shape).  Reference semantics are
+# identical to to_patch_emb minus the Rearrange (ctvit.py:170-175).
+
+def _rows_embed_math(xf, s1_ref, b1_ref, wi_ref, pb_ref, s2_ref, b2_ref,
+                     *, eps, dtype):
+    """(rows, patch_dim) f32 -> (rows, dim) f32: LN -> @wi + pb -> LN.
+    Bit-identical math to _embed_kernel's post-shuffle section."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = ((xc * jax.lax.rsqrt(var + eps)) * s1_ref[...]
+          + b1_ref[...]).astype(dtype)
+    y = jnp.dot(xn, wi_ref[...], preferred_element_type=jnp.float32)
+    yb = y.astype(dtype) + pb_ref[...].astype(dtype)
+    yf = yb.astype(jnp.float32)
+    mean2 = jnp.mean(yf, axis=-1, keepdims=True)
+    yc = yf - mean2
+    var2 = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    return (yc * jax.lax.rsqrt(var2 + eps)) * s2_ref[...] + b2_ref[...]
+
+
+def _rows_kernel(x_ref, s1_ref, b1_ref, wi_ref, pb_ref, s2_ref, b2_ref,
+                 o_ref, *, eps, dtype):
+    xf = x_ref[0].astype(jnp.float32)
+    out = _rows_embed_math(xf, s1_ref, b1_ref, wi_ref, pb_ref, s2_ref,
+                           b2_ref, eps=eps, dtype=dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _rows_bwd_kernel(x_ref, do_ref, s1_ref, b1_ref, wi_ref, pb_ref,
+                     s2_ref, b2_ref,
+                     dx_ref, dwi_ref, ds1_ref, db1_ref, dpb_ref, ds2_ref,
+                     db2_ref, *, eps, dtype):
+    from jax.experimental import pallas as pl
+
+    # forward recompute (numerics identical to _rows_kernel)
+    xf = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd1 = jax.lax.rsqrt(var + eps)
+    xhat1 = xc * rstd1
+    s1 = s1_ref[...]
+    xn = (xhat1 * s1 + b1_ref[...]).astype(dtype)
+    y = jnp.dot(xn, wi_ref[...], preferred_element_type=jnp.float32)
+    yb = y.astype(dtype) + pb_ref[...].astype(dtype)
+    yf = yb.astype(jnp.float32)
+    mean2 = jnp.mean(yf, axis=-1, keepdims=True)
+    yc = yf - mean2
+    var2 = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    rstd2 = jax.lax.rsqrt(var2 + eps)
+    xhat2 = yc * rstd2
+
+    do = do_ref[0].astype(jnp.float32)
+    ds2 = jnp.sum(do * xhat2, axis=0, keepdims=True)
+    db2 = jnp.sum(do, axis=0, keepdims=True)
+    dxhat2 = do * s2_ref[...]
+    m1 = jnp.mean(dxhat2, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat2 * xhat2, axis=-1, keepdims=True)
+    dyb = rstd2 * (dxhat2 - m1 - xhat2 * m2)
+    dpb = jnp.sum(dyb, axis=0, keepdims=True)
+    dyb_b = dyb.astype(dtype)
+    dwi = jax.lax.dot_general(xn, dyb_b, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dxn = jax.lax.dot_general(dyb_b, wi_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds1 = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
+    db1 = jnp.sum(dxn, axis=0, keepdims=True)
+    # LN backward onto the rows themselves (rows are usually training data
+    # and this grad is DCE'd, but the kernel stays a complete VJP)
+    dxhat1 = dxn * s1
+    n1 = jnp.mean(dxhat1, axis=-1, keepdims=True)
+    n2 = jnp.mean(dxhat1 * xhat1, axis=-1, keepdims=True)
+    dx_ref[0] = (rstd1 * (dxhat1 - n1 - xhat1 * n2)).astype(dx_ref.dtype)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dwi_ref[...] = jnp.zeros_like(dwi_ref)
+        ds1_ref[...] = jnp.zeros_like(ds1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dpb_ref[...] = jnp.zeros_like(dpb_ref)
+        ds2_ref[...] = jnp.zeros_like(ds2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dwi_ref[...] += dwi
+    ds1_ref[...] += ds1
+    db1_ref[...] += db1
+    dpb_ref[...] += dpb
+    ds2_ref[...] += ds2
+    db2_ref[...] += db2
+
+
+def _rows_block(n: int, patch_dim: int, fwd: bool) -> Optional[int]:
+    """Rows per grid step: divides n, sublane-aligned, block fits VMEM
+    (backward keeps several f32 (nb, patch_dim) temps alive)."""
+    budget = 24 * 1024 * 1024 if fwd else 12 * 1024 * 1024
+    for nb in (576, 512, 384, 256, 192, 128, 96, 64, 32, 16):
+        if n % nb or nb % 16:
+            continue
+        if nb * patch_dim * 4 * (2 if fwd else 6) <= budget:
+            return nb
+    return None
+
+
+def _use_pallas_rows(n: int, patch_dim: int, dim: int) -> bool:
+    if patch_dim % 128 or dim % 128 or _rows_block(n, patch_dim, True) is None:
+        return False
+    try:
+        return kernels_supported()
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _xla_row_embed(rows, s1, b1, wi, pbias, s2, b2, eps, dtype):
+    from ..norms import layer_norm
+
+    x = layer_norm(rows, s1, b1, eps)
+    y = jnp.einsum("bnp,pd->bnd", x.astype(dtype), wi.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    yb = y.astype(dtype) + pbias.astype(dtype)
+    return layer_norm(yb, s2, b2, eps).astype(dtype)
+
+
+def _rows_weights(s1, b1, wi, pbias, s2, b2, dtype):
+    return (s1.astype(jnp.float32)[None, :], b1.astype(jnp.float32)[None, :],
+            wi.astype(dtype), pbias.astype(dtype)[None, :],
+            s2.astype(jnp.float32)[None, :], b2.astype(jnp.float32)[None, :])
+
+
+def _pallas_row_embed(rows, s1, b1, wi, pbias, s2, b2, eps, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, patch_dim = rows.shape
+    dim = wi.shape[1]
+    nb = _rows_block(n, patch_dim, True)
+    splits = n // nb
+    sv = lambda a: pl.BlockSpec(a.shape, (lambda nd: lambda bi, si:
+                                          (0,) * nd)(a.ndim),
+                                memory_space=pltpu.VMEM)
+    weights = _rows_weights(s1, b1, wi, pbias, s2, b2, dtype)
+    return pallas_call(
+        functools.partial(_rows_kernel, eps=eps, dtype=dtype),
+        mm_precision=mm_precision_for(dtype),
+        grid=(b, splits),
+        in_specs=[pl.BlockSpec((1, nb, patch_dim),
+                               lambda bi, si: (bi, si, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [sv(a) for a in weights],
+        out_specs=pl.BlockSpec((1, nb, dim), lambda bi, si: (bi, si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_EMBED),
+    )(rows, *weights)
+
+
+def _pallas_row_embed_bwd(rows, s1, b1, wi, pbias, s2, b2, do, eps, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, patch_dim = rows.shape
+    dim = wi.shape[1]
+    nb = _rows_block(n, patch_dim, False)
+    splits = n // nb
+    sv = lambda a: pl.BlockSpec(a.shape, (lambda nd: lambda bi, si:
+                                          (0,) * nd)(a.ndim),
+                                memory_space=pltpu.VMEM)
+    weights = _rows_weights(s1, b1, wi, pbias, s2, b2, dtype)
+    outs = [
+        jax.ShapeDtypeStruct((b, n, patch_dim), rows.dtype),   # drows
+        jax.ShapeDtypeStruct((patch_dim, dim), jnp.float32),   # dwi
+        jax.ShapeDtypeStruct((1, patch_dim), jnp.float32),     # ds1
+        jax.ShapeDtypeStruct((1, patch_dim), jnp.float32),     # db1
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),           # dpbias
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),           # ds2
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),           # db2
+    ]
+    sx_in = pl.BlockSpec((1, nb, patch_dim), lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM)
+    sdo = pl.BlockSpec((1, nb, dim), lambda bi, si: (bi, si, 0),
+                       memory_space=pltpu.VMEM)
+    out_specs = [sx_in] + [sv(o) for o in outs[1:]]
+    drows, dwi, ds1, db1, dpb, ds2, db2 = pallas_call(
+        functools.partial(_rows_bwd_kernel, eps=eps, dtype=dtype),
+        mm_precision=mm_precision_for(dtype),
+        grid=(b, splits),
+        in_specs=[sx_in, sdo] + [sv(a) for a in weights],
+        out_specs=out_specs,
+        out_shape=outs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(rows, do.astype(dtype), *weights)
+    return (drows, ds1[0].astype(s1.dtype), db1[0].astype(b1.dtype),
+            dwi.astype(wi.dtype), dpb[0].astype(pbias.dtype),
+            ds2[0].astype(s2.dtype), db2[0].astype(b2.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_row_embed(rows, s1, b1, wi, pbias, s2, b2,
+                    eps: float = 1e-5, dtype=jnp.bfloat16):
+    """to_patch_emb minus the Rearrange, on pre-shuffled patch rows:
+    (b, n_tokens, patch_dim) -> LN(patch_dim) -> @wi + pbias -> LN(dim).
+    Returns (b, n_tokens, dim) in the compute dtype (ctvit.py:170-175)."""
+    _, n, patch_dim = rows.shape
+    if _use_pallas_rows(n, patch_dim, wi.shape[1]) and dtype == jnp.bfloat16:
+        return _pallas_row_embed(rows, s1, b1, wi, pbias, s2, b2, eps, dtype)
+    return _xla_row_embed(rows, s1, b1, wi, pbias, s2, b2, eps, dtype)
+
+
+def _re_fwd(rows, s1, b1, wi, pbias, s2, b2, eps, dtype):
+    out = fused_row_embed(rows, s1, b1, wi, pbias, s2, b2, eps, dtype)
+    return out, (rows, s1, b1, wi, pbias, s2, b2)
+
+
+def _re_bwd(eps, dtype, res, g):
+    rows, s1, b1, wi, pbias, s2, b2 = res
+    _, n, patch_dim = rows.shape
+    if _use_pallas_rows(n, patch_dim, wi.shape[1]) and dtype == jnp.bfloat16:
+        return _pallas_row_embed_bwd(rows, s1, b1, wi, pbias, s2, b2, g,
+                                     eps, dtype)
+    _, vjp = jax.vjp(lambda *a: _xla_row_embed(*a, eps, dtype),
+                     rows, s1, b1, wi, pbias, s2, b2)
+    return vjp(g)
+
+
+fused_row_embed.defvjp(_re_fwd, _re_bwd)
+
+
 def _pe_bwd(pt, p, eps, dtype, res, g):
     video, s1, b1, wi, pbias, s2, b2 = res
     _, F, H, W = video.shape

@@ -192,6 +192,41 @@ def preprocess_volume(
     return out
 
 
+@partial(jax.jit, static_argnames=("clip_before_resample", "target_shape",
+                                   "method", "out_dtype", "input_layout",
+                                   "matmul_precision", "temporal_patch_size",
+                                   "patch_size"))
+def preprocess_to_patch_rows(
+    vol_zxy: jnp.ndarray,
+    spacing_zxy: jnp.ndarray,
+    slope: jnp.ndarray,
+    intercept: jnp.ndarray,
+    true_sizes: Optional[jnp.ndarray] = None,
+    clip_before_resample: bool = False,
+    temporal_patch_size: int = 10,
+    patch_size: int = 20,
+    out_dtype=jnp.bfloat16,
+    **kwargs,
+) -> jnp.ndarray:
+    """Fused preprocess emitting the model's native ingest format: patch-major
+    rows (t*h*w, pt*p*p) in the reference's '(c pt p1 p2)' order
+    (transformer_maskgit/ctvit.py:170-175) instead of the (D, H, W) grid.
+
+    The lane-offset patchify shuffle (ops/pallas/patchify.rearrange_patches)
+    runs here, as the last ingest stage, so the repeated scored/train step
+    starts from patch rows and never pays it (fused_row_embed).  Values are
+    identical to preprocess_volume + patchify — the shuffle moves them
+    untouched."""
+    from .pallas.patchify import rearrange_patches
+
+    vol = preprocess_volume(vol_zxy, spacing_zxy, slope, intercept,
+                            true_sizes=true_sizes,
+                            clip_before_resample=clip_before_resample,
+                            out_dtype=out_dtype, **kwargs)
+    rows = rearrange_patches(vol[None], temporal_patch_size, patch_size)
+    return rows[0]
+
+
 def preprocess_batch(vols_zxy, spacings, slopes, intercepts, true_sizes=None,
                      clip_before_resample: bool = False):
     """vmap over a batch of same-bucket raw volumes with per-volume metadata."""

@@ -265,3 +265,12 @@ def load_reference_ctclip():
     mod.torch = _CPUTorch(torch)
     mod.BertTokenizer = _NoNetworkTokenizer
     return mod
+
+
+def load_reference_visual_ssl():
+    """Import the real ct_clip.visual_ssl module (SimSiam/SimCLR heads +
+    losses; the torchvision import is shimmed, and the paths under test
+    never construct the 2D augmentation pipeline)."""
+    install_shims()
+    _stub_package("ct_clip", REF_CTCLIP)
+    return importlib.import_module("ct_clip.visual_ssl")

@@ -366,3 +366,44 @@ def test_ctvit_precomputed_spatial_bias_matches_default():
     got = model.apply(variables, video, return_encoded_tokens=True,
                       spatial_bias=bias)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_ctvit_patch_rows_input_matches_video():
+    """Pre-shuffled patch rows (the ingest pipeline's native output,
+    ops/resample.preprocess_to_patch_rows) must encode identically to the
+    (b, f, H, W, 1) video: the patchify shuffle moves values untouched and
+    the rows path runs the same LN -> proj -> LN math."""
+    from ct_clip_tpu import CTViTConfig
+    from ct_clip_tpu.models.ctvit import CTViT
+    from ct_clip_tpu.ops.pallas.patchify import rearrange_patches
+
+    cfg = CTViTConfig(dim=16, codebook_size=16, image_size=16, patch_size=8,
+                      temporal_patch_size=2, num_frames=4, spatial_depth=2,
+                      temporal_depth=1, dim_head=8, heads=2)
+    model = CTViT(cfg)
+    rng = np.random.RandomState(33)
+    video = jnp.asarray(rng.randn(2, cfg.num_frames, cfg.image_size,
+                                  cfg.image_size, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), video)
+
+    rows = rearrange_patches(video[..., 0], cfg.temporal_patch_size,
+                             cfg.patch_size)
+    assert rows.shape == (2, cfg.patch_t * cfg.patch_hw ** 2,
+                          cfg.patch_dim)
+
+    ref = model.apply(variables, video, return_encoded_tokens=True)
+    got = model.apply(variables, rows, return_encoded_tokens=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # training path (XLA rows embed) agrees too
+    ref_t = model.apply(variables, video, return_encoded_tokens=True,
+                        train=True, deterministic=True,
+                        rngs={"dropout": jax.random.PRNGKey(1),
+                              "vq": jax.random.PRNGKey(2)},
+                        mutable=["vq"])[0]
+    got_t = model.apply(variables, rows, return_encoded_tokens=True,
+                        train=True, deterministic=True,
+                        rngs={"dropout": jax.random.PRNGKey(1),
+                              "vq": jax.random.PRNGKey(2)},
+                        mutable=["vq"])[0]
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))

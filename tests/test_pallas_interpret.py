@@ -170,6 +170,35 @@ def test_patch_embed_fwd_bwd_interpret():
         assert _rel_err(a, b_) < 1e-2
 
 
+def test_row_embed_fwd_bwd_interpret():
+    from ct_clip_tpu.ops.pallas.patchify import (_pallas_row_embed,
+                                                 _pallas_row_embed_bwd,
+                                                 _use_pallas_rows,
+                                                 _xla_row_embed)
+
+    rng = np.random.RandomState(12)
+    b, n, pd, dim = 2, 64, 128, 128
+    rows = jnp.asarray(rng.randn(b, n, pd).astype(np.float32))
+    s1 = jnp.asarray(rng.rand(pd).astype(np.float32) + 0.5)
+    b1 = jnp.asarray(rng.randn(pd).astype(np.float32) * 0.01)
+    wi = jnp.asarray((rng.randn(pd, dim) / np.sqrt(pd)).astype(np.float32))
+    pb = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.01)
+    s2 = jnp.asarray(rng.rand(dim).astype(np.float32) + 0.5)
+    b2 = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.01)
+    assert _use_pallas_rows(n, pd, dim)
+    got = _pallas_row_embed(rows, s1, b1, wi, pb, s2, b2, 1e-5, jnp.float32)
+    ref = _xla_row_embed(rows, s1, b1, wi, pb, s2, b2, 1e-5, jnp.float32)
+    assert _rel_err(got, ref) < 1e-3
+
+    do = jnp.asarray(rng.randn(b, n, dim).astype(np.float32))
+    got_g = _pallas_row_embed_bwd(rows, s1, b1, wi, pb, s2, b2, do,
+                                  1e-5, jnp.float32)
+    _, vjp = jax.vjp(lambda *a: _xla_row_embed(*a, 1e-5, jnp.float32),
+                     rows, s1, b1, wi, pb, s2, b2)
+    for a, b_ in zip(got_g, vjp(do)):  # incl. drows (the kernel emits it)
+        assert _rel_err(a, b_) < 1e-2
+
+
 # ----------------------------------------------------------------- VQ
 
 def test_vq_kernels_interpret():

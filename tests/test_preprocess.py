@@ -137,3 +137,28 @@ def test_matmul_method_matches_gather():
                                   method=meth, input_layout="zyx")
             np.testing.assert_allclose(np.asarray(z), np.asarray(g),
                                        atol=2e-5)
+
+
+def test_preprocess_to_patch_rows_matches_volume_path():
+    """preprocess_to_patch_rows == preprocess_volume -> patchify: the
+    shuffle moves values untouched (ingest-format equivalence)."""
+    import jax.numpy as jnp
+
+    from ct_clip_tpu.ops.pallas.patchify import rearrange_patches
+    from ct_clip_tpu.ops.resample import (preprocess_to_patch_rows,
+                                          preprocess_volume)
+
+    rng = np.random.RandomState(5)
+    vol = jnp.asarray(rng.randint(0, 2048, (60, 128, 128)).astype(np.float32))
+    spacing = jnp.asarray([3.0, 2.0, 2.0], jnp.float32)
+    kw = dict(clip_before_resample=True, target_shape=(40, 80, 80),
+              input_layout="zyx")
+    want_vol = preprocess_volume(vol, spacing, jnp.float32(1.0),
+                                 jnp.float32(-1024.0), **kw)
+    want = rearrange_patches(want_vol[None], 10, 20)[0]
+    got = preprocess_to_patch_rows(vol, spacing, jnp.float32(1.0),
+                                   jnp.float32(-1024.0),
+                                   temporal_patch_size=10, patch_size=20,
+                                   out_dtype=None, **kw)
+    assert got.shape == (4 * 4 * 4, 10 * 20 * 20)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

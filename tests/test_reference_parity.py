@@ -249,3 +249,90 @@ def test_vq_ema_trajectory_matches_vqpt_112():
             np.asarray(vq_state["cluster_size"]),
             tvq._codebook.cluster_size.numpy(),
             atol=1e-5, err_msg=f"step {step} cluster_size EMA")
+
+
+def test_visual_ssl_heads_and_losses_parity():
+    """models.visual_ssl projector/predictor/losses vs the REAL
+    ct_clip.visual_ssl module (visual_ssl.py:88-137): same weights -> same
+    projections (BN in training mode = batch statistics), same loss values."""
+    from ref_shims import load_reference_visual_ssl
+
+    from ct_clip_tpu.models.visual_ssl import (MLP, SimSiamMLP, nt_xent_loss,
+                                               simsiam_loss)
+
+    ref = load_reference_visual_ssl()
+    rng = np.random.RandomState(7)
+    dim, hidden, proj = 24, 48, 16
+    x = rng.randn(10, dim).astype(np.float32)
+
+    # --- SimSiamMLP: Linear(no bias)+BN+ReLU x2 + Linear(no bias)+BN(no aff)
+    tm = ref.SimSiamMLP(dim, proj, hidden).train()
+    with torch.no_grad():
+        for m in tm:
+            if isinstance(m, torch.nn.Linear):
+                m.weight.copy_(torch.randn_like(m.weight) * 0.2)
+            if isinstance(m, torch.nn.BatchNorm1d) and m.affine:
+                m.weight.copy_(torch.rand_like(m.weight) + 0.5)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+        want = tm(torch.from_numpy(x)).numpy()
+
+    jm = SimSiamMLP(projection_size=proj, hidden=hidden)
+    params = {
+        "fc0": {"kernel": jnp.asarray(tm[0].weight.detach().numpy().T)},
+        "bn0": {"scale": jnp.asarray(tm[1].weight.detach().numpy()),
+                "bias": jnp.asarray(tm[1].bias.detach().numpy())},
+        "fc1": {"kernel": jnp.asarray(tm[3].weight.detach().numpy().T)},
+        "bn1": {"scale": jnp.asarray(tm[4].weight.detach().numpy()),
+                "bias": jnp.asarray(tm[4].bias.detach().numpy())},
+        "out": {"kernel": jnp.asarray(tm[6].weight.detach().numpy().T)},
+    }
+    got = jm.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # --- MLP (predictor): Linear+BN+ReLU+Linear with biases
+    tp = ref.MLP(proj, proj, hidden).train()
+    with torch.no_grad():
+        for m in tp:
+            if isinstance(m, torch.nn.Linear):
+                m.weight.copy_(torch.randn_like(m.weight) * 0.2)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.weight.copy_(torch.rand_like(m.weight) + 0.5)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+        z = rng.randn(10, proj).astype(np.float32)
+        want_p = tp(torch.from_numpy(z)).numpy()
+    jp = MLP(projection_size=proj, hidden=hidden)
+    pparams = {
+        "fc0": {"kernel": jnp.asarray(tp[0].weight.detach().numpy().T),
+                "bias": jnp.asarray(tp[0].bias.detach().numpy())},
+        "bn0": {"scale": jnp.asarray(tp[1].weight.detach().numpy()),
+                "bias": jnp.asarray(tp[1].bias.detach().numpy())},
+        "out": {"kernel": jnp.asarray(tp[3].weight.detach().numpy().T),
+                "bias": jnp.asarray(tp[3].bias.detach().numpy())},
+    }
+    got_p = jp.apply({"params": pparams}, jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(got_p), want_p, atol=2e-5)
+
+    # --- SimSiam loss: (loss_fn(p1, z2.detach) + loss_fn(p2, z1.detach)).mean
+    p1, z1 = rng.randn(6, proj), rng.randn(6, proj)
+    p2, z2 = rng.randn(6, proj), rng.randn(6, proj)
+    t = lambda a: torch.from_numpy(a.astype(np.float32))
+    want_l = (ref.loss_fn(t(p1), t(z2).detach())
+              + ref.loss_fn(t(p2), t(z1).detach())).mean().item()
+    got_l = float(simsiam_loss(jnp.asarray(p1, jnp.float32),
+                               jnp.asarray(z1, jnp.float32),
+                               jnp.asarray(p2, jnp.float32),
+                               jnp.asarray(z2, jnp.float32)))
+    assert abs(got_l - want_l) < 1e-5
+
+    # --- NT-Xent: the -inf self-mask == the reference's eye compaction
+    q, k = rng.randn(6, proj).astype(np.float32), \
+        rng.randn(6, proj).astype(np.float32)
+    # reference applies it to already-projected (not renormalized) vectors;
+    # ours l2-normalizes inside — feed pre-normalized inputs to compare the
+    # masking/reduction math itself
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    kn = k / np.linalg.norm(k, axis=-1, keepdims=True)
+    want_x = ref.nt_xent_loss(t(qn), t(kn), temperature=0.1).item()
+    got_x = float(nt_xent_loss(jnp.asarray(qn), jnp.asarray(kn), 0.1))
+    assert abs(got_x - want_x) < 1e-5
