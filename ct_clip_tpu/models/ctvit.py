@@ -230,6 +230,23 @@ class CTViT(nn.Module):
         hw = self.config.image_size // self.config.patch_size
         return self.spatial_rel_pos_bias(hw, hw)
 
+    def _temporal_grid_path(self, t: int, h: int, w: int, d: int,
+                            deterministic: bool) -> bool:
+        """True when the temporal stage can run in the NATIVE (b, t, h*w, d)
+        layout: cubic grid (the reference's PEG memory reinterpretation,
+        ctvit.py:299-303, is then a pure axis relabeling — see PEG.rotated)
+        and the grid attention kernel has a plan.  Skips the two full
+        (b,h,w,t,d) layout copies per encode (~5 ms/step at production
+        shape)."""
+        cfg = self.config
+        if not (t == h == w):
+            return False
+        if cfg.attn_dropout > 0 and not deterministic:
+            return False  # in-kernel dropout is sequence-major only
+        from ..ops.pallas.small_attention import _plan_grid
+
+        return _plan_grid(1, t, h * w, d, cfg.heads, cfg.dim_head) is not None
+
     def encode(self, tokens: jnp.ndarray, deterministic: bool = True,
                spatial_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Factorized encode (ctvit.py:282-307): spatial attention over each
@@ -243,8 +260,17 @@ class CTViT(nn.Module):
         x = self.enc_spatial_transformer(x, video_shape=video_shape,
                                          attn_bias=attn_bias,
                                          deterministic=deterministic)
-        x = x.reshape(b, t, h, w, d)
 
+        if self._temporal_grid_path(t, h, w, d, deterministic):
+            # native layout: (b*t, h*w, d) -> (b, t, h*w, d) is free; the
+            # temporal transformer reads t-columns straight from the grid
+            x = x.reshape(b, t, h * w, d)
+            x = self.enc_temporal_transformer(x, video_shape=video_shape,
+                                              deterministic=deterministic,
+                                              grid_layout=True)
+            return x.reshape(b, t, h, w, d)
+
+        x = x.reshape(b, t, h, w, d)
         # temporal: (b, t, h, w, d) -> (b*h*w, t, d); PEG inside sees the same
         # video_shape, reproducing the reference's memory reinterpretation
         # (ctvit.py:299-303) for checkpoint parity.
@@ -261,10 +287,17 @@ class CTViT(nn.Module):
         b, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
 
-        x = tokens.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, d)
-        x = self.dec_temporal_transformer(x, video_shape=video_shape,
-                                          deterministic=deterministic)
-        x = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
+        if self._temporal_grid_path(t, h, w, d, deterministic):
+            x = tokens.reshape(b, t, h * w, d)
+            x = self.dec_temporal_transformer(x, video_shape=video_shape,
+                                              deterministic=deterministic,
+                                              grid_layout=True)
+            x = x.reshape(b, t, h, w, d)
+        else:
+            x = tokens.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, d)
+            x = self.dec_temporal_transformer(x, video_shape=video_shape,
+                                              deterministic=deterministic)
+            x = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
 
         attn_bias = self.dec_spatial_rel_pos_bias(h, w)
         x = x.reshape(b * t, h * w, d)

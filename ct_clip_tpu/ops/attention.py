@@ -186,6 +186,25 @@ class QKNormAttention(nn.Module):
         wkv = _DenseKernel(dim_context, h * dh * 2, name="to_kv")()
 
         dropout_active = self.dropout > 0 and not deterministic
+        if x.ndim == 4:
+            # NATIVE grid layout (b, n, S, dim): the temporal stage's
+            # sequences read straight from the (b, t, h*w, d) token grid —
+            # no sequence-major transpose ever exists (the caller gates
+            # this path, ctvit.py encode).
+            assert (mask is None and attn_bias is None and context is None
+                    and not self.causal and self.num_null_kv == 0
+                    and not dropout_active), \
+                "grid-layout attention supports the plain temporal stage only"
+            from .pallas.small_attention import \
+                fused_small_qknorm_attention_grid
+
+            q_scale = self.param("q_scale", nn.initializers.ones, (dh,))
+            k_scale = self.param("k_scale", nn.initializers.ones, (dh,))
+            wout = _DenseKernel(h * dh, self.dim, name="to_out")()
+            return fused_small_qknorm_attention_grid(
+                x_pre, gamma, wq, wkv, q_scale, k_scale, wout,
+                h, dh, self.scale, self.dtype, self.residual)
+
         if (x.shape[1] < 128 and mask is None and attn_bias is None
                 and context is None and not self.causal
                 and self.num_null_kv == 0 and not dropout_active):
@@ -365,6 +384,13 @@ class PEG(nn.Module):
     causal: bool = False
     residual: bool = False
     dtype: jnp.dtype = jnp.float32
+    # rotated=True computes the reference's temporal-stage semantics on the
+    # NATIVE (b, t, h, w, d) grid: the reference reinterprets
+    # (b,h,w,t,d)-ordered memory as (b,t,h,w,d) (ctvit.py:299-303), which
+    # for cubic grids (t == h == w) equals relabeling axes (t,h,w)->(h,w,t)
+    # — i.e. the SAME conv with the kernel tap axes rotated and the causal
+    # pad moved to the h axis.  No transpose of the activations is needed.
+    rotated: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -391,6 +417,13 @@ class PEG(nn.Module):
             raise ValueError(
                 f"PEG(residual=True) would downcast the {x.dtype} residual "
                 f"stream to {self.dtype}; pass x in self.dtype")
+        if self.rotated:
+            assert x.shape[1] == x.shape[2] == x.shape[3], \
+                "rotated PEG (native temporal layout) needs a cubic grid"
+            # K_y[c, a, b] = K[a, b, c]: tap axes relabeled (t,h,w)->(h,w,t)
+            kernel = jnp.transpose(kernel, (2, 0, 1, 3, 4))
+            return peg_conv(x.astype(self.dtype), kernel, bias, self.causal,
+                            self.residual, 1)
         return peg_conv(x.astype(self.dtype), kernel, bias, self.causal,
                         self.residual)
 
@@ -418,7 +451,8 @@ class MaskgitTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, video_shape: Optional[Tuple[int, int, int, int]] = None,
                  attn_bias=None, context=None, self_attn_mask=None,
-                 cross_attn_context_mask=None, deterministic: bool = True):
+                 cross_attn_context_mask=None, deterministic: bool = True,
+                 grid_layout: bool = False):
         # Per-block gradient checkpointing, the jax.checkpoint equivalent of
         # the reference's torch.utils.checkpoint toggle (ct_clip.py:64-74).
         # nn.remat preserves parameter names, so checkpoints are unaffected.
@@ -428,16 +462,30 @@ class MaskgitTransformer(nn.Module):
         else:
             Attn, FF = QKNormAttention, MaskgitFeedForward
 
+        # grid_layout=True: x is the NATIVE (b, t, h*w, d) token grid (the
+        # temporal stage without the (b,h,w,t,d) transpose).  Requires a
+        # cubic grid (t == h == w): the reference's PEG memory
+        # reinterpretation is then a pure axis relabeling, computed by the
+        # rotated PEG below (see PEG.rotated); attention reads t-columns
+        # straight from the grid (QKNormAttention 4-D input).
+        if grid_layout:
+            b_, t_, h_, w_ = video_shape
+            assert t_ == h_ == w_ and x.shape[:2] == (b_, t_) \
+                and x.shape[2] == h_ * w_, \
+                f"grid_layout needs cubic (b,t,h*w,d) input, got {x.shape}"
+
         for layer in range(self.depth):
             if self.peg:
                 # Replicate reference PEG reshape: x.reshape(*video_shape, d).
                 # For the spatial stage this recovers the true (b,t,h,w,d) grid;
                 # for the temporal stage it reinterprets (b,h,w,t,d)-ordered
                 # memory as (b,t,h,w,d) — intentional parity with ctvit.py:301.
+                # In grid_layout the stream IS (b,t,h,w,d): the rotated PEG
+                # reproduces the reinterpreted semantics without a transpose.
                 d = x.shape[-1]
                 grid = x.reshape(*video_shape, d)
                 peg_out = PEG(self.dim, causal=self.peg_causal, residual=True,
-                              dtype=self.dtype,
+                              dtype=self.dtype, rotated=grid_layout,
                               name=f"layers_{layer}_peg")(grid)
                 x = peg_out.reshape(x.shape)
 

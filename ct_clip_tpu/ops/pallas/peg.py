@@ -39,11 +39,21 @@ from ._call import kernels_supported, pallas_call
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _pads(causal: bool) -> Tuple[Tuple[int, int], ...]:
-    return ((2, 0) if causal else (1, 1), (1, 1), (1, 1))
+def _pads(causal: bool, causal_axis: int = 0) -> Tuple[Tuple[int, int], ...]:
+    """Per-spatial-axis pads.  causal_axis selects which grid axis gets the
+    causal (2, 0) pad: 0 = frames (the reference default,
+    attention.py:56-84); 1 = the h axis — used by the temporal stage's
+    native-layout path, where the reference's (b,h,w,t,d)->(b,t,h,w,d)
+    memory reinterpretation (ctvit.py:299-303) is equivalent, for cubic
+    grids, to rotating the kernel axes and moving the causal pad to h."""
+    pads = [(1, 1), (1, 1), (1, 1)]
+    if causal:
+        pads[causal_axis] = (2, 0)
+    return tuple(pads)
 
 
-def xla_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
+def xla_peg_conv(x, kernel, bias, causal: bool, residual: bool = False,
+                 causal_axis: int = 0):
     """lax fallback == flax nn.Conv(3x3x3, feature_group_count=dim).
 
     Written as 27 shifted multiply-adds rather than
@@ -57,7 +67,7 @@ def xla_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
     stencil's f32 accumulator.  residual=True returns x + conv(x) (the
     transformer's PEG residual, folded in so the sum rounds once)."""
     t, h, w = x.shape[1:4]
-    (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal)
+    (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal, causal_axis)
     xp = jnp.pad(x, ((0, 0), (pt0, pt1), (ph0, ph1), (pw0, pw1), (0, 0)))
     kc = kernel.astype(x.dtype)
     out = x.astype(jnp.float32) if residual else None
@@ -70,7 +80,8 @@ def xla_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
     return (out + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def lax_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
+def lax_peg_conv(x, kernel, bias, causal: bool, residual: bool = False,
+                 causal_axis: int = 0):
     """Grouped-conv forward: bf16 taps, f32 accumulation, one rounding —
     the same recipe as the pointwise form (maxdiff at production shape:
     one bf16 ulp).  Forward only; the custom_vjp below never
@@ -78,7 +89,7 @@ def lax_peg_conv(x, kernel, bias, causal: bool, residual: bool = False):
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NDHWC", "DHWIO", "NDHWC"))
     out = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (1, 1, 1), _pads(causal),
+        x, kernel.astype(x.dtype), (1, 1, 1), _pads(causal, causal_axis),
         dimension_numbers=dn, feature_group_count=x.shape[-1],
         preferred_element_type=jnp.float32)
     if residual:
@@ -108,19 +119,20 @@ def _plan(shape, dtype) -> Optional[int]:
         return None
 
 
-def _taps(causal):
-    (pt0, _), (ph0, _), (pw0, _) = _pads(causal)
+def _taps(causal, causal_axis=0):
+    (pt0, _), (ph0, _), (pw0, _) = _pads(causal, causal_axis)
     return pt0, ph0, pw0
 
 
-def lax_peg_dx(do, kernel, causal: bool, residual: bool = False):
+def lax_peg_dx(do, kernel, causal: bool, residual: bool = False,
+               causal_axis: int = 0):
     """dx = correlation of dout with the flipped kernel == grouped conv of
     dout with pads complemented (fwd pad (a, b) -> bwd pad (2-a, 2-b));
     residual adds the identity term.  Same lowering argument as the
     forward: XLA's depthwise conv beats the hand stencil, and this op is
     hand-written (never differentiated), so the grouped-conv grad bug
     cannot bite."""
-    (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal)
+    (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal, causal_axis)
     kf = kernel[::-1, ::-1, ::-1].astype(do.dtype)
     dn = jax.lax.conv_dimension_numbers(do.shape, kf.shape,
                                         ("NDHWC", "DHWIO", "NDHWC"))
@@ -134,11 +146,11 @@ def lax_peg_dx(do, kernel, causal: bool, residual: bool = False):
     return dx.astype(do.dtype)
 
 
-def _dw_kernel(do_ref, x_ref, dw_ref, db_ref, *, causal):
+def _dw_kernel(do_ref, x_ref, dw_ref, db_ref, *, causal, causal_axis):
     from jax.experimental import pallas as pl
 
     t, h, w, cb = x_ref.shape[1:]
-    pt0, ph0, pw0 = _taps(causal)
+    pt0, ph0, pw0 = _taps(causal, causal_axis)
     do = do_ref[0].astype(jnp.float32)
     xp = jnp.pad(x_ref[0].astype(jnp.float32),
                  ((pt0, 2 - pt0), (ph0, 2 - ph0), (pw0, 2 - pw0), (0, 0)))
@@ -162,7 +174,8 @@ def _dw_kernel(do_ref, x_ref, dw_ref, db_ref, *, causal):
     db_ref[...] += db
 
 
-def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False):
+def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False,
+                    causal_axis=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -170,7 +183,8 @@ def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False):
     # dx rides the fast grouped-conv lowering; only the weight/bias grads
     # (which XLA's grouped-conv grad gets wrong under GSPMD and slow
     # otherwise) stay in the stencil kernel.
-    dx = lax_peg_dx(do, kernel.astype(x.dtype), causal, residual)
+    dx = lax_peg_dx(do, kernel.astype(x.dtype), causal, residual,
+                    causal_axis)
     # channel blocks OUTER, batch inner: the dw/db accumulator blocks are
     # indexed by channel only, so their visits must be consecutive in the
     # grid iteration for += to be well-defined
@@ -181,7 +195,8 @@ def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False):
     sdb = pl.BlockSpec((1, cb), lambda ci, bi: (0, ci),
                        memory_space=pltpu.VMEM)
     dw, db = pallas_call(
-        functools.partial(_dw_kernel, causal=causal),
+        functools.partial(_dw_kernel, causal=causal,
+                          causal_axis=causal_axis),
         grid=(c // cb, b),
         in_specs=[sx, sx],
         out_specs=[sdw, sdb],
@@ -192,8 +207,9 @@ def _pallas_peg_bwd(x, kernel, do, causal, cb, residual=False):
     return dx, dw.reshape(3, 3, 3, 1, c), db[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def peg_conv(x, kernel, bias, causal: bool = False, residual: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def peg_conv(x, kernel, bias, causal: bool = False, residual: bool = False,
+             causal_axis: int = 0):
     """Depthwise 3x3x3 conv + bias over (b, t, h, w, c), causal frame pad.
 
     kernel: (3, 3, 3, 1, c) (flax Conv DHWIO layout for
@@ -202,23 +218,24 @@ def peg_conv(x, kernel, bias, causal: bool = False, residual: bool = False):
     transformer_maskgit/attention.py:313) — saves a full extra HBM
     read+write of the (b, t, h, w, c) activation per layer."""
     if _plan(x.shape, x.dtype) is not None:
-        return lax_peg_conv(x, kernel, bias, causal, residual)
-    return xla_peg_conv(x, kernel, bias, causal, residual)
+        return lax_peg_conv(x, kernel, bias, causal, residual, causal_axis)
+    return xla_peg_conv(x, kernel, bias, causal, residual, causal_axis)
 
 
-def _peg_fwd(x, kernel, bias, causal, residual):
-    return peg_conv(x, kernel, bias, causal, residual), (x, kernel)
+def _peg_fwd(x, kernel, bias, causal, residual, causal_axis):
+    return peg_conv(x, kernel, bias, causal, residual, causal_axis), \
+        (x, kernel)
 
 
-def _peg_bwd(causal, residual, res, g):
+def _peg_bwd(causal, residual, causal_axis, res, g):
     x, kernel = res
     cb = _plan(x.shape, x.dtype)
     if cb is not None:
         dx, dw, db = _pallas_peg_bwd(x, kernel, g.astype(x.dtype), causal,
-                                     cb, residual)
+                                     cb, residual, causal_axis)
         return dx, dw.astype(kernel.dtype), db
     _, vjp = jax.vjp(lambda x_, k_, b_: xla_peg_conv(x_, k_, b_, causal,
-                                                     residual),
+                                                     residual, causal_axis),
                      x, kernel, jnp.zeros((x.shape[-1],), jnp.float32))
     dx, dw, _ = vjp(g)
     db = jnp.sum(g.astype(jnp.float32), axis=tuple(range(g.ndim - 1)))

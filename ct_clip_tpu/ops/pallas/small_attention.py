@@ -146,7 +146,7 @@ def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
     out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
     if residual:  # x block already in VMEM (xf): saves the XLA `+ x` pass
         out = out + xf
-    o_ref[...] = out.astype(o_ref.dtype).reshape(g, n, o_ref.shape[-1])
+    o_ref[...] = out.astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 def _vmem_need(g, n, dim, heads, dim_head):
@@ -181,47 +181,76 @@ def _plan(b, n, dim, heads, dim_head) -> Optional[int]:
     return None
 
 
+def _seq_mask(g: int, n: int, grid_layout: bool) -> jnp.ndarray:
+    """Block-diagonal sequence mask over the packed (g*n) rows.  Row order
+    is sequence-major ((seq, t): row = seq*n + t) for the transposed
+    (b, n, dim) layout, and t-major ((t, seq): row = t*g + seq) for the
+    native grid layout — only the row->sequence map changes, the kernel
+    math is identical."""
+    r = g * n
+    i = jnp.arange(r, dtype=jnp.int32)
+    seq = (i % g) if grid_layout else (i // n)
+    return (seq[:, None] == seq[None, :]).astype(jnp.float32)
+
+
 def _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, g, *,
-                         heads, dim_head, scale, dtype, residual=False):
+                         heads, dim_head, scale, dtype, residual=False,
+                         grid_layout=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n, dim = x.shape
+    if grid_layout:
+        b, n, S, dim = x.shape
+    else:
+        b, n, dim = x.shape
     dim_out = wout.shape[-1]
     cdt = dtype
 
     def full(a):
-        return pl.BlockSpec(a.shape, lambda bi: (0,) * a.ndim,
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(a.shape, (lambda nd: lambda *_i: (0,) * nd)(
+            a.ndim), memory_space=pltpu.VMEM)
 
     # vectors go in as (1, d) 2-D blocks; scales pre-tiled across heads
     # (q_scale also folds in the fixed *8 logit scale)
     r = g * n
-    seq = jnp.arange(r, dtype=jnp.int32) // n
-    mask = (seq[:, None] == seq[None, :]).astype(jnp.float32)
+    mask = _seq_mask(g, n, grid_layout)
     weights = (gamma.astype(jnp.float32)[None, :], wq.astype(cdt),
                wkv.astype(cdt),
                (jnp.tile(q_scale.astype(jnp.float32), heads) * scale)[None, :],
                jnp.tile(k_scale.astype(jnp.float32), heads)[None, :],
                wout.astype(cdt), mask, jnp.ones((r, 8), jnp.float32))
-    sx = pl.BlockSpec((g, n, dim), lambda bi: (bi, 0, 0),
-                      memory_space=pltpu.VMEM)
-    so = pl.BlockSpec((g, n, dim_out), lambda bi: (bi, 0, 0),
-                      memory_space=pltpu.VMEM)
+    if grid_layout:
+        # native (b, n, S, dim) grid: each block is g sequences read as 24
+        # strided row-groups — the (b,t,h,w,d)->(b,h,w,t,d) transpose the
+        # sequence-major layout needs never exists
+        sx = pl.BlockSpec((1, n, g, dim), lambda bi, si: (bi, 0, si, 0),
+                          memory_space=pltpu.VMEM)
+        so = pl.BlockSpec((1, n, g, dim_out), lambda bi, si: (bi, 0, si, 0),
+                          memory_space=pltpu.VMEM)
+        grid = (b, S // g)
+        out_shape = jax.ShapeDtypeStruct((b, n, S, dim_out), cdt)
+    else:
+        sx = pl.BlockSpec((g, n, dim), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+        so = pl.BlockSpec((g, n, dim_out), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+        grid = (b // g,)
+        out_shape = jax.ShapeDtypeStruct((b, n, dim_out), cdt)
     return pallas_call(
         functools.partial(_kernel, g=g, n=n, heads=heads, dim_head=dim_head,
                           scale=scale, dtype=cdt, residual=residual),
         mm_precision=mm_precision_for(cdt),
-        grid=(b // g,),
+        grid=grid,
         in_specs=[sx] + [full(w) for w in weights],
         out_specs=so,
-        out_shape=jax.ShapeDtypeStruct((b, n, dim_out), cdt))(x, *weights)
+        out_shape=out_shape)(x, *weights)
 
 
 def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
                 wout_ref, mask_ref, ones_ref,
                 dx_ref, dwq_ref, dwkv_ref, dwout_ref, dgamma_ref, dqs_ref,
-                dks_ref, *, g, n, heads, dim_head, dtype, residual):
+                dks_ref, *, g, n, heads, dim_head, dtype, residual,
+                grid2d=False):
     """Full sublayer backward: recompute the forward in VMEM (flash-style),
     emit dx per block and accumulate the weight grads across the sequential
     grid steps.  Math follows the custom-VJP chain of _xla_small_qknorm;
@@ -337,7 +366,7 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
     dx = dx_ln + dx_kv
     if residual:  # d(x + attn(x))/dx identity term
         dx = dx + do
-    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(g, n, dim)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(dx_ref.shape)
 
     dob = do.astype(dtype)
     xnb = xn
@@ -350,7 +379,14 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
                                 preferred_element_type=jnp.float32)
     dgamma = jnp.sum(dxn * xhat, axis=0, keepdims=True)
 
-    @pl.when(pl.program_id(0) == 0)
+    # Zero the accumulators on the FIRST grid step only.  The grid-layout
+    # variant runs a 2-D (b, S//g) grid: program_id(0)==0 alone would fire
+    # on every si step of batch row 0, wiping prior contributions.
+    first = pl.program_id(0) == 0
+    if grid2d:
+        first = jnp.logical_and(first, pl.program_id(1) == 0)
+
+    @pl.when(first)
     def _():
         dwq_ref[...] = jnp.zeros_like(dwq_ref)
         dwkv_ref[...] = jnp.zeros_like(dwkv_ref)
@@ -400,30 +436,40 @@ def _plan_bwd(b, n, dim, heads, dim_head) -> Optional[int]:
 
 def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
                              g, *, heads, dim_head, scale, dtype,
-                             residual=False):
+                             residual=False, grid_layout=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n, dim = x.shape
+    if grid_layout:
+        b, n, S, dim = x.shape
+    else:
+        b, n, dim = x.shape
     hd = heads * dim_head
     r = g * n
     cdt = dtype
-    seq = jnp.arange(r, dtype=jnp.int32) // n
-    mask = (seq[:, None] == seq[None, :]).astype(jnp.float32)
+    mask = _seq_mask(g, n, grid_layout)
     qs_t = (jnp.tile(q_scale.astype(jnp.float32), heads) * scale)[None, :]
     ks_t = jnp.tile(k_scale.astype(jnp.float32), heads)[None, :]
 
     def full(a):
-        return pl.BlockSpec(a.shape, lambda bi: (0,) * a.ndim,
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(a.shape, (lambda nd: lambda *_i: (0,) * nd)(
+            a.ndim), memory_space=pltpu.VMEM)
 
     weights = (gamma.astype(jnp.float32)[None, :], wq.astype(cdt),
                wkv.astype(cdt), qs_t, ks_t, wout.astype(cdt), mask,
                jnp.ones((r, 8), jnp.float32))
-    sx = pl.BlockSpec((g, n, dim), lambda bi: (bi, 0, 0),
-                      memory_space=pltpu.VMEM)
+    if grid_layout:
+        sx = pl.BlockSpec((1, n, g, dim), lambda bi, si: (bi, 0, si, 0),
+                          memory_space=pltpu.VMEM)
+        grid = (b, S // g)
+        dx_shape = jax.ShapeDtypeStruct((b, n, S, dim), x.dtype)
+    else:
+        sx = pl.BlockSpec((g, n, dim), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+        grid = (b // g,)
+        dx_shape = jax.ShapeDtypeStruct((b, n, dim), x.dtype)
     outs = [
-        jax.ShapeDtypeStruct((b, n, dim), x.dtype),          # dx
+        dx_shape,                                            # dx
         jax.ShapeDtypeStruct((dim, hd), jnp.float32),        # dwq
         jax.ShapeDtypeStruct((dim, 2 * hd), jnp.float32),    # dwkv
         jax.ShapeDtypeStruct((hd, dim), jnp.float32),        # dwout
@@ -432,13 +478,14 @@ def _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, do,
         jax.ShapeDtypeStruct((1, hd), jnp.float32),          # dks (tiled)
     ]
     out_specs = [sx] + [
-        pl.BlockSpec(o.shape, (lambda nd: lambda bi: (0,) * nd)(len(o.shape)),
-                     memory_space=pltpu.VMEM) for o in outs[1:]]
+        pl.BlockSpec(o.shape, (lambda nd: lambda *_i: (0,) * nd)(
+            len(o.shape)), memory_space=pltpu.VMEM) for o in outs[1:]]
     dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t = pallas_call(
         functools.partial(_bwd_kernel, g=g, n=n, heads=heads,
-                          dim_head=dim_head, dtype=cdt, residual=residual),
+                          dim_head=dim_head, dtype=cdt, residual=residual,
+                          grid2d=grid_layout),
         mm_precision=mm_precision_for(cdt),
-        grid=(b // g,),
+        grid=grid,
         in_specs=[sx, sx] + [full(w) for w in weights],
         out_specs=out_specs,
         out_shape=outs,
@@ -500,3 +547,101 @@ def _bwd(heads, dim_head, scale, dtype, residual, res, g):
 
 
 fused_small_qknorm_attention.defvjp(_fwd, _bwd)
+
+
+# -------------------------------------------- native grid-layout variant
+# The temporal stage's sequences are the t-columns of the (b, t, h*w, dim)
+# token grid.  The sequence-major form above needs the caller to transpose
+# to (b*h*w, t, dim) and back — two full (8, 24, 576, 512) layout copies
+# per encode at production shape (~5 ms/step profiled).  This variant reads
+# g t-columns per block STRAIGHT from the grid layout; only the row ->
+# sequence map of the packing mask changes (see _seq_mask), the kernel body
+# is shared.
+
+def _plan_grid(b, n, S, dim, heads, dim_head) -> Optional[int]:
+    if n >= 128 or n % 8 or dim % 128 or (heads * dim_head) % 128:
+        return None
+    if dim_head % 8 or (2 * heads * dim_head) % 128:
+        return None
+    try:
+        if not kernels_supported():
+            return None
+    except Exception:  # noqa: BLE001
+        return None
+    for g in (16, 8, 32, 4, 2, 1):
+        if S % g == 0 and (g * n) % 8 == 0 \
+                and _vmem_need(g, n, dim, heads, dim_head) <= _VMEM_BUDGET:
+            return g
+    return None
+
+
+def _plan_grid_bwd(b, n, S, dim, heads, dim_head) -> Optional[int]:
+    if _plan_grid(b, n, S, dim, heads, dim_head) is None:
+        return None
+    for g in (16, 8, 32, 4, 2, 1):
+        if S % g == 0 and (g * n) % 8 == 0 \
+                and _vmem_need_bwd(g, n, dim, heads, dim_head) \
+                <= _VMEM_LIMIT_BWD - 16 * 1024 * 1024:
+            return g
+    return None
+
+
+def _xla_grid_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout, *,
+                     heads, dim_head, scale, dtype, residual=False):
+    """Fallback: transpose to sequence-major, run the reference math,
+    transpose back (identical numerics; used off-TPU)."""
+    b, n, S, dim = x.shape
+    xs = x.transpose(0, 2, 1, 3).reshape(b * S, n, dim)
+    out = _xla_small_qknorm(xs, gamma, wq, wkv, q_scale, k_scale, wout,
+                            heads=heads, dim_head=dim_head, scale=scale,
+                            dtype=dtype, residual=residual)
+    return out.reshape(b, S, n, -1).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def fused_small_qknorm_attention_grid(x, gamma, wq, wkv, q_scale, k_scale,
+                                      wout, heads: int, dim_head: int,
+                                      scale: float, dtype=jnp.bfloat16,
+                                      residual: bool = False):
+    """fused_small_qknorm_attention on the NATIVE (b, n, S, dim) grid:
+    sequences run along axis 1 (n tokens each), S of them side by side.
+    Returns (b, n, S, dim_out); no sequence-major tensor ever exists."""
+    b, n, S, dim = x.shape
+    g = _plan_grid(b, n, S, dim, heads, dim_head)
+    if g is not None:
+        return _pallas_small_qknorm(x, gamma, wq, wkv, q_scale, k_scale,
+                                    wout, g, heads=heads, dim_head=dim_head,
+                                    scale=scale, dtype=dtype,
+                                    residual=residual, grid_layout=True)
+    return _xla_grid_qknorm(x, gamma, wq, wkv, q_scale, k_scale, wout,
+                            heads=heads, dim_head=dim_head, scale=scale,
+                            dtype=dtype, residual=residual)
+
+
+def _fwd_grid(x, gamma, wq, wkv, q_scale, k_scale, wout, heads, dim_head,
+              scale, dtype, residual):
+    out = fused_small_qknorm_attention_grid(
+        x, gamma, wq, wkv, q_scale, k_scale, wout, heads, dim_head, scale,
+        dtype, residual)
+    return out, (x, gamma, wq, wkv, q_scale, k_scale, wout)
+
+
+def _bwd_grid(heads, dim_head, scale, dtype, residual, res, g):
+    x, gamma, wq, wkv, q_scale, k_scale, wout = res
+    b, n, S, dim = x.shape
+    gb = _plan_grid_bwd(b, n, S, dim, heads, dim_head)
+    if gb is not None:
+        return _pallas_small_qknorm_bwd(x, gamma, wq, wkv, q_scale, k_scale,
+                                        wout, g.astype(x.dtype), gb,
+                                        heads=heads, dim_head=dim_head,
+                                        scale=scale, dtype=dtype,
+                                        residual=residual, grid_layout=True)
+    _, vjp = jax.vjp(
+        lambda *a: _xla_grid_qknorm(*a, heads=heads, dim_head=dim_head,
+                                    scale=scale, dtype=dtype,
+                                    residual=residual),
+        x, gamma, wq, wkv, q_scale, k_scale, wout)
+    return vjp(g)
+
+
+fused_small_qknorm_attention_grid.defvjp(_fwd_grid, _bwd_grid)

@@ -138,9 +138,13 @@ def test_ssl_losses():
     rng = np.random.RandomState(4)
     z1 = jnp.asarray(rng.randn(8, 16).astype(np.float32))
     z2 = jnp.asarray(rng.randn(8, 16).astype(np.float32))
-    # d(p1, z2') + d(p2, z1'): with p1 == z2' and p2 == z1' the loss is -1
+    # reference loss_fn = 2 - 2*cos (visual_ssl.py:106-109), both directions
+    # summed (:255-259): perfectly aligned predictions (p1 == z2', p2 == z1')
+    # give 0; orthogonal-ish random pairs land near 2 + 2 = 4
     l = simsiam_loss(z1, z2, z2, z1)
-    np.testing.assert_allclose(float(l), -1.0, atol=1e-5)
+    np.testing.assert_allclose(float(l), 0.0, atol=1e-5)
+    l_rand = simsiam_loss(z1, z1, z2, z2)  # d(z1,z2)+(z2,z1), random pair
+    assert 0.0 < float(l_rand) < 8.0
     nt = nt_xent_loss(z1, z1 + 0.01 * z2, temperature=0.1)
     nt_rand = nt_xent_loss(z1, z2, temperature=0.1)
     assert float(nt) < float(nt_rand)  # aligned views score better

@@ -407,3 +407,32 @@ def test_ctvit_patch_rows_input_matches_video():
                               "vq": jax.random.PRNGKey(2)},
                         mutable=["vq"])[0]
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
+
+
+def test_rotated_peg_matches_memory_reinterpretation():
+    """PEG.rotated: for cubic grids, the reference's (b,h,w,t,d)->(b,t,h,w,d)
+    memory reinterpretation (ctvit.py:299-303) equals relabeling the grid
+    axes (t,h,w)->(h,w,t) — i.e. the same conv with rotated kernel taps and
+    the causal pad moved to h.  Equal up to f32 tap-accumulation order."""
+    from ct_clip_tpu.ops.pallas.peg import xla_peg_conv
+
+    rng = np.random.RandomState(3)
+    b, n, d = 2, 4, 8
+    y = jnp.asarray(rng.randn(b, n, n, n, d).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 1, d).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+
+    for causal in (True, False):
+        # reference path: temporal stream is (b*h*w, t, d)-ordered memory,
+        # reinterpreted as (b,t,h,w,d) for the PEG (MaskgitTransformer)
+        stream = y.transpose(0, 2, 3, 1, 4).reshape(b * n * n, n, d)
+        grid = stream.reshape(b, n, n, n, d)
+        out_grid = xla_peg_conv(grid, kernel, bias, causal, residual=True)
+        out_stream = out_grid.reshape(b * n * n, n, d)
+        want = out_stream.reshape(b, n, n, n, d).transpose(0, 3, 1, 2, 4)
+
+        got = xla_peg_conv(y, jnp.transpose(kernel, (2, 0, 1, 3, 4)), bias,
+                           causal, residual=True, causal_axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"causal={causal}")

@@ -694,3 +694,85 @@ def test_peg_kernels_on_tpu_if_available():
             a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
             denom = max(np.abs(b32).max(), 1e-6)
             assert np.abs(a32 - b32).max() / denom < 2e-2
+
+
+def test_grid_qknorm_kernel_on_tpu_if_available():
+    """Native grid-layout temporal attention (fwd + bwd) vs the
+    sequence-major XLA reference, at a production-like sub-shape."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.small_attention import (
+        _plan_grid, _plan_grid_bwd, _xla_grid_qknorm,
+        fused_small_qknorm_attention_grid)
+
+    b, n, S, dim, heads, dh = 2, 24, 64, 256, 8, 32
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(b, n, S, dim).astype(np.float32), jnp.bfloat16)
+    _, gamma, wq, wkv, qs, ks, wout = _small_attn_inputs(4, n, dim, heads, dh)
+    assert _plan_grid(b, n, S, dim, heads, dh) is not None
+    assert _plan_grid_bwd(b, n, S, dim, heads, dh) is not None
+
+    args = (x, gamma, jnp.asarray(wq, jnp.bfloat16),
+            jnp.asarray(wkv, jnp.bfloat16), qs, ks,
+            jnp.asarray(wout, jnp.bfloat16))
+    got = fused_small_qknorm_attention_grid(*args, heads, dh, 8.0,
+                                            jnp.bfloat16, True)
+    want = _xla_grid_qknorm(*args, heads=heads, dim_head=dh, scale=8.0,
+                            dtype=jnp.bfloat16, residual=True)
+    err = np.abs(np.asarray(got, np.float32)
+                 - np.asarray(want, np.float32)).max()
+    assert err < 0.05, err  # bf16 accumulate-order noise
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(lambda *a: loss(
+        lambda *b_: fused_small_qknorm_attention_grid(
+            *b_, heads, dh, 8.0, jnp.bfloat16, True), *a),
+        argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(lambda *a: loss(
+        lambda *b_: _xla_grid_qknorm(*b_, heads=heads, dim_head=dh,
+                                     scale=8.0, dtype=jnp.bfloat16,
+                                     residual=True), *a),
+        argnums=tuple(range(7)))(*args)
+    for a, b_ in zip(g1, g2):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        rel = np.abs(a32 - b32).max() / max(np.abs(b32).max(), 1e-6)
+        assert rel < 0.05, rel
+
+
+def test_row_embed_kernel_on_tpu_if_available():
+    """fused_row_embed Pallas fwd/bwd vs the XLA twin on the chip."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU")
+    from ct_clip_tpu.ops.pallas.patchify import (_pallas_row_embed,
+                                                 _pallas_row_embed_bwd,
+                                                 _use_pallas_rows,
+                                                 _xla_row_embed)
+
+    rng = np.random.RandomState(13)
+    b, n, pd, dim = 2, 1728, 4000, 512
+    rows = jnp.asarray(rng.randn(b, n, pd).astype(np.float32), jnp.bfloat16)
+    s1 = jnp.asarray(rng.rand(pd).astype(np.float32) + 0.5)
+    b1 = jnp.asarray(rng.randn(pd).astype(np.float32) * 0.01)
+    wi = jnp.asarray((rng.randn(pd, dim) / np.sqrt(pd)).astype(np.float32),
+                     jnp.bfloat16)
+    pb = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.01, jnp.bfloat16)
+    s2 = jnp.asarray(rng.rand(dim).astype(np.float32) + 0.5)
+    b2 = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.01)
+    assert _use_pallas_rows(n, pd, dim)
+    got = _pallas_row_embed(rows, s1, b1, wi, pb, s2, b2, 1e-5, jnp.bfloat16)
+    want = _xla_row_embed(rows, s1, b1, wi, pb, s2, b2, 1e-5, jnp.bfloat16)
+    err = np.abs(np.asarray(got, np.float32)
+                 - np.asarray(want, np.float32)).max()
+    assert err < 0.05, err
+
+    do = jnp.asarray(rng.randn(b, n, dim).astype(np.float32), jnp.bfloat16)
+    got_g = _pallas_row_embed_bwd(rows, s1, b1, wi, pb, s2, b2, do, 1e-5,
+                                  jnp.bfloat16)
+    _, vjp = jax.vjp(lambda *a: _xla_row_embed(*a, 1e-5, jnp.bfloat16),
+                     rows, s1, b1, wi, pb, s2, b2)
+    for a, b_ in zip(got_g, vjp(do)):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        rel = np.abs(a32 - b32).max() / max(np.abs(b32).max(), 1e-6)
+        assert rel < 0.05, rel

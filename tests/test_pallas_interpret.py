@@ -350,3 +350,88 @@ def test_peg_fwd_bwd_interpret():
             assert _rel_err(a, b_) < 5e-2
         # the identity term: residual dx == plain dx + do exactly (f32 path)
         assert _rel_err(dxr, dx + do) < 2e-2
+
+
+def test_grid_attention_matches_sequence_major_interpret():
+    """fused_small_qknorm_attention_grid on the native (b, n, S, d) grid ==
+    the sequence-major reference math (transpose + per-head XLA), fwd + bwd."""
+    from ct_clip_tpu.ops.pallas.small_attention import (
+        _plan_grid, _xla_grid_qknorm, fused_small_qknorm_attention_grid)
+
+    rng = np.random.RandomState(17)
+    b, n, S, dim, h, dh = 2, 8, 16, 128, 8, 16
+    scale = 8.0
+    x = jnp.asarray(rng.randn(b, n, S, dim).astype(np.float32))
+    gamma = jnp.asarray(rng.rand(dim).astype(np.float32) + 0.5)
+    wq = jnp.asarray(rng.randn(dim, h * dh).astype(np.float32) * 0.1)
+    wkv = jnp.asarray(rng.randn(dim, 2 * h * dh).astype(np.float32) * 0.1)
+    qs = jnp.asarray(rng.rand(dh).astype(np.float32) + 0.5)
+    ks = jnp.asarray(rng.rand(dh).astype(np.float32) + 0.5)
+    wout = jnp.asarray(rng.randn(h * dh, dim).astype(np.float32) * 0.1)
+    assert _plan_grid(b, n, S, dim, h, dh) is not None
+
+    args = (x, gamma, wq, wkv, qs, ks, wout)
+    got = fused_small_qknorm_attention_grid(*args, h, dh, scale,
+                                            jnp.float32, True)
+    want = _xla_grid_qknorm(*args, heads=h, dim_head=dh, scale=scale,
+                            dtype=jnp.float32, residual=True)
+    assert got.shape == (b, n, S, dim)
+    assert _rel_err(got, want) < 1e-4
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+    g_got = jax.grad(lambda *a: loss(
+        lambda *b_: fused_small_qknorm_attention_grid(
+            *b_, h, dh, scale, jnp.float32, True), *a),
+        argnums=tuple(range(7)))(*args)
+    g_want = jax.grad(lambda *a: loss(
+        lambda *b_: _xla_grid_qknorm(*b_, heads=h, dim_head=dh, scale=scale,
+                                     dtype=jnp.float32, residual=True), *a),
+        argnums=tuple(range(7)))(*args)
+    for a, b_ in zip(g_got, g_want):
+        assert _rel_err(a, b_) < 1e-3
+
+
+def test_ctvit_native_temporal_layout_matches_transpose_path_interpret():
+    """CTViT encode with the native (b, t, h*w, d) temporal path (rotated
+    PEG + grid attention; active in interpret mode) == the transpose path
+    (forced by disabling the grid plan)."""
+    from ct_clip_tpu import CTViTConfig
+    from ct_clip_tpu.models.ctvit import CTViT
+
+    cfg = CTViTConfig(dim=128, codebook_size=16, image_size=32, patch_size=4,
+                      temporal_patch_size=2, num_frames=16, spatial_depth=1,
+                      temporal_depth=2, dim_head=16, heads=8)
+    # grid: t = 16/2 = 8, h = w = 32/4 = 8 -> cubic (n=8 sublane multiple)
+    model = CTViT(cfg)
+    rng = np.random.RandomState(21)
+    video = jnp.asarray(rng.randn(2, cfg.num_frames, cfg.image_size,
+                                  cfg.image_size, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), video)
+
+    assert model.apply(variables, method=lambda m: m._temporal_grid_path(
+        8, 8, 8, cfg.dim, True))
+    got = model.apply(variables, video, return_encoded_tokens=True)
+
+    import ct_clip_tpu.models.ctvit as ctvit_mod
+    orig = ctvit_mod.CTViT._temporal_grid_path
+    try:
+        ctvit_mod.CTViT._temporal_grid_path = \
+            lambda self, *a, **k: False
+        jax.clear_caches()
+        want = model.apply(variables, video, return_encoded_tokens=True)
+    finally:
+        ctvit_mod.CTViT._temporal_grid_path = orig
+        jax.clear_caches()
+    assert _rel_err(got, want) < 1e-3
+
+    # gradients flow through the grid path (rotated PEG + grid attention)
+    def loss(params):
+        out = model.apply({**variables, "params": params}, video,
+                          return_encoded_tokens=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)

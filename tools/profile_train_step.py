@@ -1,7 +1,8 @@
 """Profile the production-shape CTCLIP train step and print a per-op cost
 table (same xplane aggregation as profile_zero_shot.py).
 
-Usage: python tools/profile_train_step.py [batch]
+Usage: python tools/profile_train_step.py [batch] [video|rows]
+(rows = the production trainer's patch-row ingest format, default).
 """
 from __future__ import annotations
 
@@ -26,6 +27,7 @@ def main() -> None:
 
     enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    fmt = sys.argv[2] if len(sys.argv) > 2 else "rows"
     cfg = CTCLIPConfig()
     tcfg = TrainConfig(batch_size=batch, remat=True,
                        compute_dtype="bfloat16")
@@ -42,6 +44,12 @@ def main() -> None:
         "video": jnp.asarray(rng.rand(batch, frames, size, size, 1) * 2 - 1,
                              jnp.bfloat16),
     }
+    if fmt == "rows":
+        v = cfg.ctvit
+        n_tokens = (frames // v.temporal_patch_size) \
+            * (size // v.patch_size) ** 2
+        batch_data["video"] = jnp.asarray(
+            rng.rand(batch, n_tokens, v.patch_dim) * 2 - 1, jnp.bfloat16)
     tx = get_optimizer(lr=tcfg.lr, wd=tcfg.wd,
                        max_grad_norm=tcfg.max_grad_norm)
     t0 = time.time()

@@ -3,7 +3,8 @@
 Captures a jax.profiler trace of N warm score_jit calls (the exact graph
 bench.py times) and aggregates device-op durations from the xplane proto,
 so the gap between the per-stage kernel sum and the end-to-end ms/volume is
-attributable.  Usage:  python tools/profile_zero_shot.py [batch]
+attributable.  Usage:  python tools/profile_zero_shot.py [batch] [video|rows]
+(rows = the production patch-row ingest format, bench.py's headline input).
 """
 from __future__ import annotations
 
@@ -27,6 +28,7 @@ def main() -> None:
 
     enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    fmt = sys.argv[2] if len(sys.argv) > 2 else "rows"
     cfg = CTCLIPConfig()
     model = CTCLIP(cfg, dtype=jnp.bfloat16)
     frames, size = cfg.ctvit.num_frames, cfg.ctvit.image_size
@@ -52,8 +54,15 @@ def main() -> None:
 
     score4 = jax.jit(score)
     score_jit = lambda v, vid, p: score4(v, vid, p, temp)
-    video = jnp.asarray(rng.rand(batch, frames, size, size, 1) * 2 - 1,
-                        jnp.bfloat16)
+    if fmt == "rows":
+        v = cfg.ctvit
+        n_tokens = (frames // v.temporal_patch_size) \
+            * (size // v.patch_size) ** 2
+        video = jnp.asarray(rng.rand(batch, n_tokens, v.patch_dim) * 2 - 1,
+                            jnp.bfloat16)
+    else:
+        video = jnp.asarray(rng.rand(batch, frames, size, size, 1) * 2 - 1,
+                            jnp.bfloat16)
 
     t0 = time.time()
     np.asarray(score_jit(variables, video, prompts))
