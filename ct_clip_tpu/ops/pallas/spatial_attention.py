@@ -73,30 +73,6 @@ def _plan(b, n, dim, heads, dim_head) -> Optional[bool]:
         return None
 
 
-def _plan_packed(b, n, dim, heads, dim_head) -> Optional[int]:
-    """Packing factor gp (heads per 128-lane group) for the head-packed
-    kernels, or None.  dim_head-32 heads waste 4x MXU lanes in the per-head
-    score/PV dots (K resp. N pad 32 -> 128); packing gp = 128/dim_head heads
-    into one full-lane dot removes that.  Requires the group's score matrix
-    (n, gp*n) plus the stacked K/V to fit VMEM alongside the resident bias."""
-    if _plan(b, n, dim, heads, dim_head) is None:
-        return None
-    if 128 % dim_head or dim_head % 8:
-        return None
-    gp = 128 // dim_head
-    if gp < 2 or heads % gp:
-        return None
-    # fwd live set per group: sim+e f32, e cast bf16, stacked K/V bf16
-    grp = n * gp * n * (4 + 4 + 2) + 2 * gp * n * 128 * 2
-    bias = heads * n * n * 4
-    if grp + bias > 40 * 1024 * 1024:
-        return None
-    # bwd live set: ~6 f32 (n, gp*n) buffers + dbias accumulator
-    if 6 * n * gp * n * 4 + 2 * bias > 72 * 1024 * 1024:
-        return None
-    return gp
-
-
 def _project_qknorm(x, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, *,
                     heads, dim_head, dtype):
     """Shared fwd recompute: LN, projections, per-head l2 QK-norm.
@@ -157,210 +133,6 @@ def _kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref, wout_ref,
     if residual:  # x slab already in VMEM: saves the XLA `+ x` pass
         out = out + x.astype(jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
-
-
-def _packed_consts(n, gp, dh):
-    """Indicator matrices for the head-packed group math (computed on the
-    VPU at trace time, unrolled per group):
-      lane_h (1, P): lane -> head-in-group index (P = gp*dh lanes)
-      bind (gp*n, gp): packed-row -> head-block one-hot (block reductions)
-      lmat (P, gp): lane -> head-block one-hot (broadcast block scalars)"""
-    P = gp * dh
-    lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // dh
-    bind = (jax.lax.broadcasted_iota(jnp.int32, (gp * n, gp), 0) // n
-            == jax.lax.broadcasted_iota(jnp.int32, (gp * n, gp), 1)
-            ).astype(jnp.float32)
-    lmat = (jax.lax.broadcasted_iota(jnp.int32, (P, gp), 0) // dh
-            == jax.lax.broadcasted_iota(jnp.int32, (P, gp), 1)
-            ).astype(jnp.float32)
-    return lane_h, bind, lmat
-
-
-def _stack_heads(a, lane_h, gp):
-    """(n, P) -> (gp*n, P): row block hh holds a with every lane outside
-    head hh zeroed.  The zeros make the packed full-lane dots block-exact:
-    q_group @ stack^T contracts 128 lanes but only head hh's 32 survive in
-    column block hh."""
-    return jnp.concatenate([a * (lane_h == hh).astype(a.dtype)
-                            for hh in range(gp)], axis=0)
-
-
-def _packed_kernel(x_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
-                   wout_ref, bias_ref, o_ref, *, heads, dim_head, gp,
-                   dtype, residual):
-    """Head-packed forward: gp = 128/dim_head heads share one full-lane
-    score dot (n, 128) @ (128, gp*n) and one PV dot (n, gp*n) @ (gp*n, 128)
-    — 4x the per-head MXU utilization at dim_head 32.  bias_ref is packed
-    (n, heads*n) head-major along lanes.  Per-head softmax uses ONE row max
-    across the group's gp blocks (mathematically identical; blocks whose max
-    sits far below the group max lose exp precision only once the QK-norm
-    logit range exceeds ~80, far beyond the +-~20 the learned scales + CPB
-    bias can reach) and indicator-matmul block sums."""
-    h, dh = heads, dim_head
-    n = x_ref.shape[1]
-    x = x_ref[0]
-    (xn, xc, qn, kn, v, *_rest) = _project_qknorm(
-        x, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
-        heads=heads, dim_head=dim_head, dtype=dtype)
-    lane_h, bind, lmat = _packed_consts(n, gp, dh)
-    P = gp * dh
-    outs = []
-    for gi in range(h // gp):
-        sl = slice(gi * P, (gi + 1) * P)
-        kt = _stack_heads(kn[:, sl], lane_h, gp)        # (gp*n, P) bf16
-        vs = _stack_heads(v[:, sl], lane_h, gp)
-        sim = jax.lax.dot_general(qn[:, sl], kt, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        sim = sim + bias_ref[:, gi * gp * n:(gi + 1) * gp * n]
-        mx = jnp.max(sim, axis=-1, keepdims=True)       # group max (see doc)
-        e = jnp.exp(sim - mx)
-        den = jnp.dot(e, bind, preferred_element_type=jnp.float32)  # (n, gp)
-        pv = jnp.dot(e.astype(dtype), vs,
-                     preferred_element_type=jnp.float32)            # (n, P)
-        inv = jax.lax.dot_general(1.0 / den, lmat, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        outs.append((pv * inv).astype(dtype))
-    merged = jnp.concatenate(outs, axis=-1)
-    out = jnp.dot(merged, wout_ref[...], preferred_element_type=jnp.float32)
-    if residual:  # x slab already in VMEM: saves the XLA `+ x` pass
-        out = out + x.astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
-
-
-def _packed_bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref,
-                       ks_ref, wout_ref, bias_ref,
-                       dx_ref, dwq_ref, dwkv_ref, dwout_ref, dgamma_ref,
-                       dqs_ref, dks_ref, dbias_ref, *, heads, dim_head, gp,
-                       dtype, residual):
-    """Head-packed backward: same packing as _packed_kernel applied to the
-    five attention dots of the VJP chain (score, PV, dv, dp, dq/dk).
-    dbias accumulates in the packed (n, heads*n) layout; the caller unpacks
-    to (heads, n, n)."""
-    from jax.experimental import pallas as pl
-
-    h, dh = heads, dim_head
-    x = x_ref[0]
-    n = x.shape[0]
-    do = do_ref[0].astype(jnp.float32)
-    (xn, xc, qn, kn, v, qhat, khat, qfac, kfac, hmat, xhat,
-     rstd) = _project_qknorm(
-        x, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
-        heads=heads, dim_head=dim_head, dtype=dtype)
-    gammaf = gamma_ref[...]
-    sq = qs_ref[...]
-    sk = ks_ref[...]
-    lane_h, bind, lmat = _packed_consts(n, gp, dh)
-    P = gp * dh
-
-    dmerged = jax.lax.dot_general(do, wout_ref[...].astype(jnp.float32),
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-    first = pl.program_id(0) == 0
-
-    @pl.when(first)
-    def _():
-        dbias_ref[...] = jnp.zeros_like(dbias_ref)
-
-    def collapse(stack, dt=jnp.float32):
-        # (gp*n, P) head-block stack -> (n, P): block hh contributes only
-        # its own head's lanes (the cross lanes carry cross-head garbage)
-        return sum(stack[hh * n:(hh + 1) * n]
-                   * (lane_h == hh).astype(dt) for hh in range(gp))
-
-    merged_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
-    for gi in range(h // gp):
-        sl = slice(gi * P, (gi + 1) * P)
-        qn_g = qn[:, sl]
-        kt = _stack_heads(kn[:, sl], lane_h, gp)
-        vs = _stack_heads(v[:, sl], lane_h, gp)
-        sim = jax.lax.dot_general(qn_g, kt, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        sim = sim + bias_ref[:, gi * gp * n:(gi + 1) * gp * n]
-        mx = jnp.max(sim, axis=-1, keepdims=True)
-        e = jnp.exp(sim - mx)
-        den = jnp.dot(e, bind, preferred_element_type=jnp.float32)
-        invf = jax.lax.dot_general(1.0 / den, bind, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        p = e * invf                                        # (n, gp*n)
-        pb = p.astype(dtype)
-        dout_g = dmerged[:, sl].astype(dtype)               # (n, P)
-        merged_parts.append(jnp.dot(pb, vs,
-                                    preferred_element_type=jnp.float32))
-        dv_parts.append(collapse(jax.lax.dot_general(
-            pb, dout_g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)))
-        dp = jax.lax.dot_general(dout_g, vs, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        rs = jnp.dot(p * dp, bind, preferred_element_type=jnp.float32)
-        rs_full = jax.lax.dot_general(rs, bind, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dsim = p * (dp - rs_full)
-        dbias_ref[:, gi * gp * n:(gi + 1) * gp * n] += dsim
-        dsb = dsim.astype(dtype)
-        dq_parts.append(jnp.dot(dsb, kt,
-                                preferred_element_type=jnp.float32))
-        dk_parts.append(collapse(jax.lax.dot_general(
-            dsb, qn_g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)))
-    merged = jnp.concatenate(merged_parts, axis=-1)
-    dqn_all = jnp.concatenate(dq_parts, axis=-1)
-    dkn_all = jnp.concatenate(dk_parts, axis=-1)
-    dv = jnp.concatenate(dv_parts, axis=-1)
-
-    dqhat = dqn_all * sq
-    dkhat = dkn_all * sk
-    dqs_tile = jnp.sum(dqn_all * qhat, axis=0, keepdims=True)
-    dks_tile = jnp.sum(dkn_all * khat, axis=0, keepdims=True)
-    qdot = jnp.dot(jnp.dot(qhat * dqhat, hmat,
-                           preferred_element_type=jnp.float32), hmat.T,
-                   preferred_element_type=jnp.float32)
-    kdot = jnp.dot(jnp.dot(khat * dkhat, hmat,
-                           preferred_element_type=jnp.float32), hmat.T,
-                   preferred_element_type=jnp.float32)
-    dq = qfac * (dqhat - qhat * qdot)
-    dk = kfac * (dkhat - khat * kdot)
-
-    dqb = dq.astype(dtype)
-    dkv = jnp.concatenate([dk, dv], axis=-1).astype(dtype)
-    dxn = jax.lax.dot_general(dqb, wq_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dx_kv = jax.lax.dot_general(dkv, wkv_ref[...], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-    dxhat = dxn * gammaf
-    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx_ln = rstd * (dxhat - m1 - xhat * m2)
-    dx = dx_ln + dx_kv
-    if residual:  # d(x + attn(x))/dx identity term
-        dx = dx + do
-    dx_ref[0] = dx.astype(dx_ref.dtype)
-
-    dob = do.astype(dtype)
-    dwq = jax.lax.dot_general(xn, dqb, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dwkv = jax.lax.dot_general(xc, dkv, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dwout = jax.lax.dot_general(merged.astype(dtype), dob,
-                                (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    dgamma = jnp.sum(dxn * xhat, axis=0, keepdims=True)
-
-    @pl.when(first)
-    def _():
-        dwq_ref[...] = jnp.zeros_like(dwq_ref)
-        dwkv_ref[...] = jnp.zeros_like(dwkv_ref)
-        dwout_ref[...] = jnp.zeros_like(dwout_ref)
-        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
-        dqs_ref[...] = jnp.zeros_like(dqs_ref)
-        dks_ref[...] = jnp.zeros_like(dks_ref)
-
-    dwq_ref[...] += dwq
-    dwkv_ref[...] += dwkv
-    dwout_ref[...] += dwout
-    dgamma_ref[...] += dgamma
-    dqs_ref[...] += dqs_tile
-    dks_ref[...] += dks_tile
 
 
 def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
@@ -482,16 +254,12 @@ def _bwd_kernel(x_ref, do_ref, gamma_ref, wq_ref, wkv_ref, qs_ref, ks_ref,
 
 
 def _weights(gamma, wq, wkv, q_scale, k_scale, wout, bias, heads, scale,
-             dtype, packed=False):
+             dtype):
     qs_t = (jnp.tile(q_scale.astype(jnp.float32), heads) * scale)[None, :]
     ks_t = jnp.tile(k_scale.astype(jnp.float32), heads)[None, :]
-    biasf = bias.astype(jnp.float32)
-    if packed:  # (h, n, n) -> (n, h*n) head-major lanes (one 10 MB relayout
-        # per call, fused by XLA into the surrounding graph)
-        h, n, _ = bias.shape
-        biasf = biasf.transpose(1, 0, 2).reshape(n, h * n)
     return (gamma.astype(jnp.float32)[None, :], wq.astype(dtype),
-            wkv.astype(dtype), qs_t, ks_t, wout.astype(dtype), biasf)
+            wkv.astype(dtype), qs_t, ks_t, wout.astype(dtype),
+            bias.astype(jnp.float32))
 
 
 def _specs(b, n, dim, weights):
@@ -511,19 +279,12 @@ def _pallas_spatial(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, *,
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, dim = x.shape
-    gp = _plan_packed(b, n, dim, heads, dim_head)
     weights = _weights(gamma, wq, wkv, q_scale, k_scale, wout, bias,
-                       heads, scale, dtype, packed=gp is not None)
+                       heads, scale, dtype)
     sx, full = _specs(b, n, dim, weights)
-    if gp is not None:
-        body = functools.partial(_packed_kernel, heads=heads,
-                                 dim_head=dim_head, gp=gp, dtype=dtype,
-                                 residual=residual)
-    else:
-        body = functools.partial(_kernel, heads=heads, dim_head=dim_head,
-                                 dtype=dtype, residual=residual)
     return pallas_call(
-        body,
+        functools.partial(_kernel, heads=heads, dim_head=dim_head,
+                          dtype=dtype, residual=residual),
         mm_precision=mm_precision_for(dtype),
         grid=(b,),
         in_specs=[sx] + full,
@@ -540,11 +301,9 @@ def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
 
     b, n, dim = x.shape
     hd = heads * dim_head
-    gp = _plan_packed(b, n, dim, heads, dim_head)
     weights = _weights(gamma, wq, wkv, q_scale, k_scale, wout, bias,
-                       heads, scale, dtype, packed=gp is not None)
+                       heads, scale, dtype)
     sx, full = _specs(b, n, dim, weights)
-    dbias_shape = (n, heads * n) if gp is not None else bias.shape
     outs = [
         jax.ShapeDtypeStruct((b, n, dim), x.dtype),            # dx
         jax.ShapeDtypeStruct((dim, hd), jnp.float32),          # dwq
@@ -553,21 +312,14 @@ def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
         jax.ShapeDtypeStruct((1, dim), jnp.float32),           # dgamma
         jax.ShapeDtypeStruct((1, hd), jnp.float32),            # dqs (tiled)
         jax.ShapeDtypeStruct((1, hd), jnp.float32),            # dks (tiled)
-        jax.ShapeDtypeStruct(dbias_shape, jnp.float32),        # dbias
+        jax.ShapeDtypeStruct(bias.shape, jnp.float32),         # dbias
     ]
     out_specs = [sx] + [
         pl.BlockSpec(o.shape, (lambda nd: lambda bi: (0,) * nd)(len(o.shape)),
                      memory_space=pltpu.VMEM) for o in outs[1:]]
-    if gp is not None:
-        body = functools.partial(_packed_bwd_kernel, heads=heads,
-                                 dim_head=dim_head, gp=gp, dtype=dtype,
-                                 residual=residual)
-    else:
-        body = functools.partial(_bwd_kernel, heads=heads,
-                                 dim_head=dim_head, dtype=dtype,
-                                 residual=residual)
     dx, dwq, dwkv, dwout, dgamma, dqs_t, dks_t, dbias = pallas_call(
-        body,
+        functools.partial(_bwd_kernel, heads=heads, dim_head=dim_head,
+                          dtype=dtype, residual=residual),
         mm_precision=mm_precision_for(dtype),
         grid=(b,),
         in_specs=[sx, sx] + full,
@@ -576,8 +328,6 @@ def _pallas_spatial_bwd(x, gamma, wq, wkv, q_scale, k_scale, wout, bias, do,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )(x, do, *weights)
-    if gp is not None:  # unpack (n, h*n) -> (h, n, n)
-        dbias = dbias.reshape(n, heads, n).transpose(1, 0, 2)
     dqs = (dqs_t.reshape(heads, dim_head).sum(0) * scale).astype(q_scale.dtype)
     dks = dks_t.reshape(heads, dim_head).sum(0).astype(k_scale.dtype)
     return (dx, dgamma[0].astype(gamma.dtype), dwq.astype(wq.dtype),

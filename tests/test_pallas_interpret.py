@@ -309,46 +309,6 @@ def test_spatial_qknorm_fwd_bwd_interpret():
         assert _rel_err(a, b_) < 1e-6
 
 
-def test_spatial_qknorm_packed_vs_perhead_interpret():
-    """Head-packed kernels (gp = 128/dim_head heads per full-lane dot) ==
-    the per-head-loop kernels on identical inputs, fwd + every grad.  The
-    packed path differs only in dot packing and the group-max softmax
-    shift, so agreement is tight."""
-    import ct_clip_tpu.ops.pallas.spatial_attention as sa
-
-    b, n, dim, heads, dh = 2, 128, 128, 4, 32
-    rng = np.random.RandomState(23)
-    x = jnp.asarray(rng.randn(b, n, dim).astype(np.float32))
-    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(dim).astype(np.float32))
-    wq = jnp.asarray(rng.randn(dim, heads * dh).astype(np.float32)
-                     / np.sqrt(dim))
-    wkv = jnp.asarray(rng.randn(dim, 2 * heads * dh).astype(np.float32)
-                      / np.sqrt(dim))
-    qs = jnp.asarray(1.0 + 0.1 * rng.randn(dh).astype(np.float32))
-    ks = jnp.asarray(1.0 + 0.1 * rng.randn(dh).astype(np.float32))
-    wout = jnp.asarray(rng.randn(heads * dh, dim).astype(np.float32)
-                       / np.sqrt(heads * dh))
-    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
-    args = (x, gamma, wq, wkv, qs, ks, wout, bias)
-    do = jnp.asarray(rng.randn(b, n, dim).astype(np.float32) * 0.1)
-    kw = dict(heads=heads, dim_head=dh, scale=8.0, dtype=jnp.float32,
-              residual=True)
-    assert sa._plan_packed(b, n, dim, heads, dh) == 4
-
-    got = sa._pallas_spatial(*args, **kw)
-    got_g = sa._pallas_spatial_bwd(*args, do, **kw)
-    orig = sa._plan_packed
-    try:
-        sa._plan_packed = lambda *a: None
-        want = sa._pallas_spatial(*args, **kw)
-        want_g = sa._pallas_spatial_bwd(*args, do, **kw)
-    finally:
-        sa._plan_packed = orig
-    assert _rel_err(got, want) < 1e-4
-    for a, b_ in zip(got_g, want_g):
-        assert _rel_err(a, b_) < 1e-4
-
-
 # ------------------------------------------------------------ PEG stencil
 
 def test_peg_fwd_bwd_interpret():
