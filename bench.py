@@ -28,9 +28,10 @@ Figures reported (one JSON line):
   transfer pool -> per-sample fused preprocess dispatch -> batched
   encode+score, synced once per epoch.  Decode, h2d and device compute
   overlap; the epoch cost is ~max(stages), not their sum.
-* `train_step_ms`: one jitted production-shape train step (bf16, remat),
-  the counterpart of the reference's A100 batch-8 row (BASELINE.md;
-  scripts/CTCLIPTrainer.py:244-263).
+* `train_step_ms`: one jitted production-shape train step (bf16, no
+  remat — the fused sublayers' custom VJPs already recompute flash-style,
+  see bench_train_step), the counterpart of the reference's A100 batch-8
+  row (BASELINE.md; scripts/CTCLIPTrainer.py:244-263).
 
 Skip the e2e file benchmark with CTCLIP_BENCH_E2E=0, the train-step timing
 with CTCLIP_BENCH_TRAIN=0.  The corpus is cached under /tmp across runs.
@@ -298,9 +299,15 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
 
 
 def bench_train_step(cfg, batch: int = 8) -> dict:
-    """One jitted production-shape train step (bf16 compute, remat towers,
-    Adam), timed min-of-rounds.  Counterpart of the reference's 'batch 8
-    fills an A100-80GB' row (BASELINE.md; CTCLIPTrainer.py:244-263)."""
+    """One jitted production-shape train step (bf16 compute, Adam), timed
+    min-of-rounds.  Counterpart of the reference's 'batch 8 fills an
+    A100-80GB' row (BASELINE.md; CTCLIPTrainer.py:244-263).
+
+    remat is OFF: every hot sublayer runs a custom-VJP Pallas kernel whose
+    backward recomputes flash-style from the sublayer input — exactly the
+    residual nn.remat would save — so per-block remat stores nothing extra
+    and just pays the attention forwards twice (measured 324.7 -> 300.6
+    ms/step device at batch 8 on v5e)."""
     import jax
     import jax.numpy as jnp
 
@@ -310,9 +317,10 @@ def bench_train_step(cfg, batch: int = 8) -> dict:
     from ct_clip_tpu.train.train_step import (create_train_state,
                                               make_train_step)
 
-    tcfg = TrainConfig(batch_size=batch, remat=True, compute_dtype="bfloat16")
-    mcfg = cfg.replace(ctvit=cfg.ctvit.replace(remat=True),
-                       bert=cfg.bert.replace(remat=True),
+    tcfg = TrainConfig(batch_size=batch, remat=False,
+                       compute_dtype="bfloat16")
+    mcfg = cfg.replace(ctvit=cfg.ctvit.replace(remat=False),
+                       bert=cfg.bert.replace(remat=False),
                        gather_negatives=False)
     model = CTCLIP(mcfg, dtype=jnp.bfloat16)
     frames, size = cfg.ctvit.num_frames, cfg.ctvit.image_size
@@ -338,7 +346,7 @@ def bench_train_step(cfg, batch: int = 8) -> dict:
     state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(1))
     _sync(metrics["loss"])
     print(f"[bench] train step compile+first: {time.time() - t0:.0f}s "
-          f"(batch {batch}, remat, bf16)", file=sys.stderr)
+          f"(batch {batch}, no-remat, bf16)", file=sys.stderr)
 
     best = None
     for _ in range(3):

@@ -222,7 +222,13 @@ class TrainConfig(_Base):
     save_model_every: int = 2000
     seed: int = 42
     compute_dtype: str = "bfloat16"  # autocast equivalent
-    remat: bool = False  # jax.checkpoint on transformer blocks
+    # jax.checkpoint on transformer blocks.  Rarely worth it on TPU: the
+    # fused sublayer kernels' custom VJPs recompute flash-style from the
+    # sublayer input (the same residual remat would store), so remat saves
+    # no memory on the fused path and re-runs the attention forwards
+    # (measured +24 ms on the 300 ms batch-8 step).  Keep for the XLA
+    # fallback paths or memory-constrained multi-chip fits.
+    remat: bool = False
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
     @property

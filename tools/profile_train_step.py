@@ -1,8 +1,11 @@
 """Profile the production-shape CTCLIP train step and print a per-op cost
 table (same xplane aggregation as profile_zero_shot.py).
 
-Usage: python tools/profile_train_step.py [batch] [video|rows]
-(rows = the production trainer's patch-row ingest format, default).
+Usage: python tools/profile_train_step.py [batch] [video|rows] [remat|noremat]
+(rows = the production trainer's patch-row ingest format, default;
+third arg "noremat" disables per-block rematerialization — the fused
+sublayer kernels' custom VJPs already recompute flash-style internally,
+so remat pays the forward twice more).
 """
 from __future__ import annotations
 
@@ -28,11 +31,12 @@ def main() -> None:
     enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     fmt = sys.argv[2] if len(sys.argv) > 2 else "rows"
+    remat = (sys.argv[3] if len(sys.argv) > 3 else "remat") != "noremat"
     cfg = CTCLIPConfig()
-    tcfg = TrainConfig(batch_size=batch, remat=True,
+    tcfg = TrainConfig(batch_size=batch, remat=remat,
                        compute_dtype="bfloat16")
-    mcfg = cfg.replace(ctvit=cfg.ctvit.replace(remat=True),
-                      bert=cfg.bert.replace(remat=True),
+    mcfg = cfg.replace(ctvit=cfg.ctvit.replace(remat=remat),
+                      bert=cfg.bert.replace(remat=remat),
                       gather_negatives=False)
     model = CTCLIP(mcfg, dtype=jnp.bfloat16)
     frames, size = cfg.ctvit.num_frames, cfg.ctvit.image_size

@@ -131,6 +131,10 @@ def report(tracedir: str, iters: int, batch: int) -> None:
             grouped[k.split(".")[0]] += v
         for k, v in sorted(grouped.items(), key=lambda kv: -kv[1])[:40]:
             print(f"  {v / 1e9 / iters:8.3f} ms/step  {k}")
+        if os.environ.get("PROFILE_TOP_OPS"):
+            print("  -- top individual ops --")
+            for k, v in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
+                print(f"  {v / 1e9 / iters:8.3f} ms/step  {k[:160]}")
 
 
 if __name__ == "__main__":
