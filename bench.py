@@ -234,7 +234,7 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
     t0 = time.time()
     for s in by_bucket.values():
         pre = _preprocess_int16_zyx(jax.device_put(s.vol), s)
-        _sync(pre[:1, :1, :4])
+        _sync(pre[:1, :4])
     n_buckets = len(by_bucket)
     t_precompile = time.time() - t0
     print(f"[bench] precompiled {n_buckets} preprocess bucket shapes "
