@@ -206,11 +206,16 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
 
 
 def _flush(clf, buf, preds, labels, names, pad_to: Optional[int] = None):
-    videos = jnp.stack([v for v, _ in buf])
-    n = videos.shape[0]
+    from ..utils import stack_standard
+
+    vols = [v for v, _ in buf]
+    n = len(vols)
     if pad_to is not None and n < pad_to:
-        videos = jnp.concatenate(
-            [videos, jnp.zeros((pad_to - n,) + videos.shape[1:], videos.dtype)])
+        vols += [jnp.zeros(vols[0].shape, vols[0].dtype)] * (pad_to - n)
+    # standard-layout batch: born in the layout the encode kernels consume
+    # (a plain jnp.stack picks the compact {1,2,0} layout on TPU and the
+    # scored step pays a full relayout copy every batch)
+    videos = stack_standard(vols)
     preds.append(clf.score_batch(videos)[:n])
     for _, meta in buf:
         labels.append(meta.labels if meta.labels is not None

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PATHOLOGIES, CTCLIPConfig, TrainConfig
+from ..utils import stack_standard
 from ..data.datasets import CTReportDataset, CTReportDatasetInfer
 from ..data.loader import VolumeLoader, preprocess_sample
 from ..models.ctclip import CTCLIP
@@ -177,7 +178,10 @@ class CTClipTrainer:
                                                 self.cfg.mesh.data_axis)
                 else:
                     yield {
-                        "video": jnp.stack(buf_v).astype(self.cfg.dtype),
+                        # standard-layout batch (see utils.stack_standard:
+                        # plain stack goes compact on TPU and the train
+                        # step pays a relayout copy of the 885 MB rows)
+                        "video": stack_standard(buf_v, self.cfg.dtype),
                         "input_ids": jnp.asarray(enc["input_ids"]),
                         "attention_mask": jnp.asarray(enc["attention_mask"]),
                     }

@@ -20,6 +20,60 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass
 
 
+def stack_standard(xs, dtype=None):
+    """Stack per-volume arrays into a batch in STANDARD (row-major) device
+    layout.
+
+    On TPU, plain `jnp.stack` of (13824, 4000) patch-row volumes picks the
+    compact entry layout {1,2,0} (13824 lanes — no pad for a 4000-wide
+    minor dim), and every consumer Pallas kernel then pays a full-tensor
+    relayout copy back to standard inside the scored/train step (measured
+    2.77 ms per batch-8 step, ~4 vol/s of zero-shot headline).  2-D arrays
+    are standard either way; it is only the stacked 3-D batch that goes
+    compact.  This helper jits the stack with a forced standard output
+    layout so the batch is born in the layout the kernels consume —
+    one write, no downstream copy.  Non-TPU backends: plain stack."""
+    import jax
+    import jax.numpy as jnp
+
+    xs = list(xs)
+    if jax.default_backend() != "tpu":
+        out = jnp.stack(xs)
+        return out if dtype is None else out.astype(dtype)
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    ndim = xs[0].ndim + 1
+    fmt = Format(Layout(tuple(range(ndim))),
+                 SingleDeviceSharding(jax.devices()[0]))
+    # dtype cast rides the same jit: a separate .astype dispatch would
+    # re-pick the compact layout and undo the forced one
+    return jax.jit(
+        lambda *vs: jnp.stack(vs) if dtype is None
+        else jnp.stack(vs).astype(dtype),
+        out_shardings=fmt)(*xs)
+
+
+def device_put_standard(x):
+    """`jax.device_put` pinned to the STANDARD (row-major) layout.
+
+    TPU device_put of a >=3-D host batch picks the compact layout (e.g.
+    {1,2,0} for (8, 13824, 4000) bf16 patch rows), and the first kernel
+    to consume it pays a full relayout inside the jitted step.  Feeding
+    steps standard-layout batches measured 73.3 -> 70.5 ms per batch-8
+    zero-shot step on v5e.  Non-TPU backends: plain device_put."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return jax.device_put(x)
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    fmt = Format(Layout(tuple(range(x.ndim))),
+                 SingleDeviceSharding(jax.devices()[0]))
+    return jax.device_put(x, fmt)
+
+
 def write_table(df, path) -> None:
     """Excel when openpyxl/xlsxwriter is available, CSV fallback — air-gapped
     parity with the reference's xlsx artifacts (scripts/zero_shot.py:161-165,

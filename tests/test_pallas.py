@@ -237,6 +237,14 @@ def test_vq_kernels_on_tpu_if_available():
     ref = _chunked_argmax_sim(l2norm(flat), embed_n)
     # bf16 similarity may flip exact ties; on random gaussians expect <<1%
     assert np.mean(np.asarray(ids) != np.asarray(ref)) < 0.01
+    # raw-bf16 production path: normalization skipped (argmax is invariant
+    # to the per-row scale), 2 exact MXU passes — same assignments as the
+    # f32 normalized reference on the identical bf16 values
+    flat_bf = flat.astype(jnp.bfloat16)
+    ids_bf = pallas_assign(flat_bf, embed_n, m)
+    ref_bf = _chunked_argmax_sim(l2norm(flat_bf.astype(jnp.float32)),
+                                 embed_n)
+    assert np.mean(np.asarray(ids_bf) != np.asarray(ref_bf)) < 0.001
     bins, esum = pallas_cluster_stats(flat, ids, k, m)
     rbins, resum = _chunked_cluster_stats(l2norm(flat), ids, k)
     np.testing.assert_allclose(np.asarray(bins), np.asarray(rbins), atol=0.5)

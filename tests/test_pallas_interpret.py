@@ -216,6 +216,12 @@ def test_vq_kernels_interpret():
     ids = pallas_assign(flat, embed_n, m)
     ref = _chunked_argmax_sim(l2norm(flat), embed_n)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref))
+    # raw-bf16 path: normalization skipped inside the kernel
+    flat_bf = flat.astype(jnp.bfloat16)
+    ids_bf = pallas_assign(flat_bf, embed_n, m)
+    ref_bf = _chunked_argmax_sim(l2norm(flat_bf.astype(jnp.float32)),
+                                 embed_n)
+    np.testing.assert_array_equal(np.asarray(ids_bf), np.asarray(ref_bf))
     bins, esum = pallas_cluster_stats(flat, ids, k, m)
     rbins, resum = _chunked_cluster_stats(l2norm(flat), ids, k)
     np.testing.assert_allclose(np.asarray(bins), np.asarray(rbins), atol=1e-3)
