@@ -87,6 +87,12 @@ def flops_per_volume(cfg) -> float:
     return float(fl)
 
 
+def _native_ok() -> bool:
+    from ct_clip_tpu import native
+
+    return native.available() or native.build()
+
+
 def _make_corpus(root) -> None:
     """Write E2E_VOLUMES realistic .nii.gz + the three CSVs the dataset
     joins.  Content mimics a chest CT's compressibility: constant air
@@ -105,14 +111,24 @@ def _make_corpus(root) -> None:
     tissue = (1050 + rng.randint(-60, 60, (zmax, 512, 512))).astype(np.int16)
     base[:, body] = tissue[:, body]
 
+    from ct_clip_tpu import native
+
+    use_native = _native_ok()
+
     rows_r, rows_m, rows_l = [], [], []
     for i, z in enumerate(E2E_ZS):
         name = f"bench_{i}_a_1.nii.gz"
         vdir = os.path.join(root, "data", f"bench_{i}", f"bench_{i}_a")
         os.makedirs(vdir, exist_ok=True)
         vol = np.roll(base[:z], rng.randint(0, z), axis=0)
-        write_volume(os.path.join(vdir, name), vol.transpose(1, 2, 0),
-                     pixdim=(0.75, 0.75, 1.0))
+        path = os.path.join(vdir, name)
+        write_volume(path, vol.transpose(1, 2, 0), pixdim=(0.75, 0.75, 1.0))
+        if use_native:
+            # production corpus prep (`ct-clip recompress`): indexed
+            # multi-member gzip -> VolumeLoader inflates members in
+            # parallel; level 1 favors decode speed like the writer above
+            native.recompress(path, path, level=1,
+                              threads=os.cpu_count() or 1)
         rows_r.append({"VolumeName": name, "Findings_EN": "Lungs are clear.",
                        "Impressions_EN": "Normal."})
         rows_m.append({"VolumeName": name, "XYSpacing": "[0.75, 0.75]",
@@ -126,8 +142,9 @@ def _make_corpus(root) -> None:
             w = csv.DictWriter(f, fieldnames=list(rows[0]))
             w.writeheader()
             w.writerows(rows)
+    tag = "idx1" if use_native else "gz"
     Path(os.path.join(root, ".complete")).write_text(
-        " ".join(map(str, E2E_ZS)) + "\n")
+        " ".join(map(str, E2E_ZS)) + f" {tag}\n")
 
 
 def _device_stream(loader, depth: int = 4):
@@ -184,8 +201,11 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
     workers = max(2, min(16, os.cpu_count() or 2))
     root = os.environ.get("CTCLIP_BENCH_CORPUS", "/tmp/ctclip_bench_corpus")
     marker = Path(root) / ".complete"
-    if not (marker.exists()
-            and marker.read_text().split() == [str(z) for z in E2E_ZS]):
+    zs = [str(z) for z in E2E_ZS]
+    # accept an un-indexed cached corpus only when native is unavailable
+    ok_tags = {"idx1", "gz"} if not _native_ok() else {"idx1"}
+    have = marker.read_text().split() if marker.exists() else []
+    if not (have[:-1] == zs and have[-1:] and have[-1] in ok_tags):
         t0 = time.time()
         _make_corpus(root)
         print(f"[bench] corpus ({E2E_VOLUMES} vols, Z={sorted(set(E2E_ZS))})"

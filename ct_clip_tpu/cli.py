@@ -251,6 +251,53 @@ def cmd_reconstruct(args):
     print(f"wrote {len(written)} reconstructions -> {args.results}")
 
 
+def cmd_recompress(args):
+    """Rewrite a corpus of .nii/.nii.gz as indexed multi-member gzip (still
+    valid .nii.gz for any reader) whose members inflate in parallel — a
+    one-time preparation that unlocks intra-file parallel decode in
+    VolumeLoader (data/nifti._read_bytes; the reference's serial nibabel
+    load is scripts/data.py:93-94)."""
+    import os
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import native
+
+    if not native.available() and not native.build():
+        sys.exit("native library unavailable and build failed "
+                 "(needs g++ + zlib)")
+    root = Path(args.data)
+    paths = ([root] if root.is_file()
+             else sorted(p for pat in ("*.nii.gz", "*.nii")
+                         for p in root.rglob(pat)))
+    if not paths:
+        sys.exit(f"no .nii/.nii.gz under {root}")
+    ncpu = os.cpu_count() or 1
+    jobs = args.jobs or max(1, ncpu // 2)
+    inner = max(1, ncpu // jobs)  # spare cores go into each file's deflate
+
+    def one(p: Path):
+        dst = Path(args.out) / p.relative_to(root) if args.out else p
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        tmp = dst.with_suffix(dst.suffix + ".tmp")
+        n = native.recompress(str(p), str(tmp),
+                              chunk_bytes=args.chunk_mb << 20,
+                              level=args.level, threads=inner)
+        os.replace(tmp, dst)  # atomic: never leaves a half-written volume
+        return p, n
+
+    t0 = time.time()
+    total = 0
+    with ThreadPoolExecutor(max_workers=jobs) as pool:
+        for p, n in pool.map(one, paths):
+            total += n
+            if args.verbose:
+                print(f"  {p} ({n / 1e6:.0f} MB raw)")
+    dt = time.time() - t0
+    print(f"recompressed {len(paths)} volumes ({total / 1e9:.2f} GB raw) "
+          f"in {dt:.1f}s ({total / dt / 1e6:.0f} MB/s)")
+
+
 def cmd_radbert_train(args):
     from .config import RadBertConfig
     from .models import RadBertClassifier
@@ -408,6 +455,19 @@ def main(argv=None):
     rc.add_argument("--results", default="reconstructions")
     rc.add_argument("--max-items", type=int)
     rc.set_defaults(fn=cmd_reconstruct)
+
+    rz = sub.add_parser("recompress",
+                        help="rewrite .nii.gz corpus as indexed gzip "
+                             "(parallel-inflatable; still valid .nii.gz)")
+    rz.add_argument("--data", required=True, help="file or directory tree")
+    rz.add_argument("--out", help="output root (default: rewrite in place)")
+    rz.add_argument("--jobs", type=int, help="concurrent files "
+                                             "(default: cores/2)")
+    rz.add_argument("--chunk-mb", type=int, default=4,
+                    help="uncompressed bytes per gzip member")
+    rz.add_argument("--level", type=int, default=6, help="deflate level")
+    rz.add_argument("--verbose", action="store_true")
+    rz.set_defaults(fn=cmd_recompress)
 
     r = sub.add_parser("radbert-train")
     r.add_argument("--reports", required=True)

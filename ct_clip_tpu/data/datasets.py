@@ -103,8 +103,8 @@ class CTReportDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def read_raw(self, index: int, dtype=None,
-                 layout: str = "zxy") -> Tuple[np.ndarray, VolumeMeta]:
+    def read_raw(self, index: int, dtype=None, layout: str = "zxy",
+                 inflate_threads: int = 1) -> Tuple[np.ndarray, VolumeMeta]:
         """Returns ((Z, X, Y) raw voxels, meta).  NIfTI fdata is (X, Y, Z);
         transpose matches data.py:115.
 
@@ -122,12 +122,13 @@ class CTReportDataset:
         if dtype is not None:
             vol, hdr = read_volume(meta.path, apply_scaling=False,
                                    dtype=dtype,
-                                   layout="zyx" if layout == "zyx" else "xyz")
+                                   layout="zyx" if layout == "zyx" else "xyz",
+                                   threads=inflate_threads)
             if (hdr.scl_slope in (0.0, 1.0) and hdr.scl_inter == 0.0):
                 if layout == "zyx":
                     return vol, meta
                 return np.ascontiguousarray(vol.transpose(2, 0, 1)), meta
-        vol, _hdr = read_volume(meta.path)
+        vol, _hdr = read_volume(meta.path, threads=inflate_threads)
         vol = vol.transpose(2, 0, 1)
         if layout == "zyx":
             vol = vol.transpose(0, 2, 1)

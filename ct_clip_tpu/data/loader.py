@@ -99,7 +99,8 @@ class VolumeLoader:
                  prefetch: int = 8, shuffle: bool = False,
                  infinite: bool = False, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 raw_dtype=None, raw_layout: str = "zxy"):
+                 raw_dtype=None, raw_layout: str = "zxy",
+                 inflate_threads: Optional[int] = None):
         """`process_index`/`process_count` give each host of a multi-host
         (pod) run a disjoint strided slice of every epoch — the torch
         DistributedSampler contract accelerate applies in the reference.
@@ -110,7 +111,14 @@ class VolumeLoader:
         (halves host->device bytes); `raw_layout="zyx"` additionally skips
         the host-side in-plane transpose — RawSample.vol is then (Z, Y, X)
         and the consumer transposes axes (1, 2) on device.  See
-        CTReportDataset.read_raw."""
+        CTReportDataset.read_raw.
+
+        `inflate_threads` parallelises the gunzip of each single file when
+        the corpus was prepared with `ct-clip recompress` (indexed
+        multi-member gzip).  Default: spread the cores left over by the
+        file-level workers, cpu_count // num_workers."""
+        import os
+
         self.ds = dataset
         self.num_workers = num_workers
         self.prefetch = prefetch
@@ -121,6 +129,10 @@ class VolumeLoader:
         self.process_count = process_count
         self.raw_dtype = raw_dtype
         self.raw_layout = raw_layout
+        if inflate_threads is None:
+            inflate_threads = max(1, (os.cpu_count() or 1)
+                                  // max(1, num_workers))
+        self.inflate_threads = inflate_threads
 
     def _indices(self) -> Iterator[int]:
         from ..parallel.multihost import shard_indices_for_process
@@ -142,7 +154,8 @@ class VolumeLoader:
     def __iter__(self) -> Iterator[RawSample]:
         def load(index: int) -> RawSample:
             vol, meta = self.ds.read_raw(index, dtype=self.raw_dtype,
-                                         layout=self.raw_layout)
+                                         layout=self.raw_layout,
+                                         inflate_threads=self.inflate_threads)
             true = np.asarray(vol.shape, np.int32)
             bshape = bucket_shape(vol.shape)
             if tuple(bshape) != vol.shape:

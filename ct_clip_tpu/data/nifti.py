@@ -70,8 +70,21 @@ def _read_header(raw: bytes) -> NiftiHeader:
                        byteorder=bo)
 
 
-def _read_bytes(path: str | Path) -> bytes:
+def _read_bytes(path: str | Path, threads: int = 1):
+    """Whole-file read + gunzip.  Native fast path when built: inflates
+    straight into one buffer (no chunked realloc+join), and files prepared
+    with `ct-clip recompress` (indexed multi-member gzip) inflate with up to
+    `threads` concurrent workers.  Returns bytes or a uint8 ndarray — every
+    consumer goes through np.frombuffer, which accepts both."""
     path = Path(path)
+    try:
+        from ..native import read_bytes_native
+
+        data = read_bytes_native(str(path), threads=threads)
+        if data is not None:
+            return data
+    except Exception:  # noqa: BLE001 - any native failure falls back
+        pass
     data = path.read_bytes()
     if data[:2] == b"\x1f\x8b":  # gzip magic
         data = gzip.decompress(data)
@@ -79,12 +92,14 @@ def _read_bytes(path: str | Path) -> bytes:
 
 
 def load_header(path: str | Path) -> NiftiHeader:
-    return _read_header(_read_bytes(path)[:HEADER_SIZE])
+    # bytes(...) also converts the native path's uint8 ndarray
+    return _read_header(bytes(_read_bytes(path)[:HEADER_SIZE]))
 
 
 def read_volume(path: str | Path, apply_scaling: bool = True,
                 dtype=np.float32,
-                layout: str = "xyz") -> Tuple[np.ndarray, NiftiHeader]:
+                layout: str = "xyz",
+                threads: int = 1) -> Tuple[np.ndarray, NiftiHeader]:
     """Returns (volume, header); volume shape = header.shape in Fortran
     (x-fastest) order, matching nibabel's array layout.  With apply_scaling,
     values are scl_slope * raw + scl_inter when slope != 0 (get_fdata).
@@ -95,14 +110,16 @@ def read_volume(path: str | Path, apply_scaling: bool = True,
     defer the in-plane X<->Y transpose to the device.
 
     Uses the native C++ decoder (ct_clip_tpu/native) when built; pure-numpy
-    fallback otherwise."""
+    fallback otherwise.  `threads` parallelises the gunzip of a single file
+    when it was prepared as an indexed multi-member gzip (`ct-clip
+    recompress`); plain .nii.gz inflates serially regardless."""
     if layout not in ("xyz", "zyx"):
         raise ValueError(f"bad layout {layout!r}")
     if apply_scaling and dtype == np.float32 and layout == "xyz":
         try:
             from ..native import read_volume_native
 
-            native = read_volume_native(str(path))
+            native = read_volume_native(str(path), threads=threads)
         except Exception:  # noqa: BLE001 - any native failure falls back
             native = None
         if native is not None:
@@ -111,8 +128,8 @@ def read_volume(path: str | Path, apply_scaling: bool = True,
                               pixdim=pixdim, scl_slope=slope, scl_inter=inter,
                               vox_offset=HEADER_SIZE + 4, byteorder="<")
             return vol, hdr
-    raw = _read_bytes(path)
-    hdr = _read_header(raw[:HEADER_SIZE])
+    raw = _read_bytes(path, threads=threads)
+    hdr = _read_header(bytes(raw[:HEADER_SIZE]))
     count = int(np.prod(hdr.shape))
     dt = hdr.dtype.newbyteorder(hdr.byteorder)
     arr = np.frombuffer(raw, dtype=dt, count=count, offset=hdr.vox_offset)

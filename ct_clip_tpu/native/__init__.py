@@ -44,6 +44,12 @@ def _load():
     lib.nifti_recompress.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                      ctypes.c_int64, ctypes.c_int32,
                                      ctypes.c_int32]
+    lib.gunzip_probe.restype = ctypes.c_int64
+    lib.gunzip_probe.argtypes = [ctypes.c_char_p]
+    lib.gunzip_read.restype = ctypes.c_int64
+    lib.gunzip_read.argtypes = [ctypes.c_char_p,
+                                ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.c_int64, ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -89,6 +95,28 @@ def read_volume_native(path: str, threads: int = 1,
     dims = tuple(shape[1 + i] for i in range(ndim))
     vol = out.reshape(dims, order="F")
     return vol, (meta[0], meta[1], meta[2]), float(meta[3]), float(meta[4])
+
+
+def read_bytes_native(path: str, threads: int = 1) -> Optional[np.ndarray]:
+    """Gunzip (or plain-read) a whole file into a fresh uint8 array, with no
+    NIfTI decode — backs the zero-copy int16/zyx loader path.  Indexed
+    multi-member files (see `recompress`) inflate with up to `threads`
+    workers straight into the output buffer; plain .gz is serial but still
+    skips the Python gzip module's chunked realloc+join copies.  Returns
+    None when the native library is unavailable; raises on decode errors."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.gunzip_probe(path.encode())
+    if n < 0:
+        raise ValueError(f"gunzip_probe({path}) failed with code {n}")
+    out = np.empty(n, np.uint8)
+    got = lib.gunzip_read(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, max(1, int(threads)))
+    if got != n:
+        raise ValueError(f"gunzip_read({path}) returned {got}, expected {n}")
+    return out
 
 
 def recompress(src: str, dst: str, *, chunk_bytes: int = 4 << 20,

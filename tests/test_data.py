@@ -248,6 +248,62 @@ def test_native_recompress_indexed_roundtrip(tmp_path):
     np.testing.assert_array_equal(pvol.astype(np.int16), vol)
 
 
+def test_native_read_bytes_paths(tmp_path):
+    """gunzip_probe/gunzip_read (native raw-bytes API behind the zero-copy
+    int16/zyx loader path) must reproduce the file bytes for raw, plain-gz
+    and indexed-gz inputs, with any thread count."""
+    import gzip
+
+    from ct_clip_tpu import native
+
+    if not native.available() and not native.build():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.RandomState(3)
+    payload = rng.bytes(700_000)
+    raw = tmp_path / "a.bin"
+    raw.write_bytes(payload)
+    gz = tmp_path / "a.gz"
+    gz.write_bytes(gzip.compress(payload, 1))
+    idx = tmp_path / "a.idx.gz"
+    native.recompress(str(gz), str(idx), chunk_bytes=64 << 10, threads=2)
+
+    for p in (raw, gz, idx):
+        for threads in (1, 3):
+            got = native.read_bytes_native(str(p), threads=threads)
+            assert got is not None
+            assert bytes(got) == payload, (p, threads)
+
+
+def test_read_raw_on_indexed_corpus(tmp_path):
+    """read_raw over a recompressed (indexed multi-member) corpus must match
+    the original byte-for-byte on every path incl. inflate_threads > 1 —
+    the `ct-clip recompress` + VolumeLoader integration."""
+    from ct_clip_tpu import native
+
+    if not native.available() and not native.build():
+        pytest.skip("no native toolchain")
+
+    data, reports, meta, _ = _make_dataset(tmp_path, n=2)
+    ds = CTReportDataset(data, reports, meta, percent=100)
+    ref = [ds.read_raw(i, dtype=np.int16, layout="zyx")[0] for i in range(2)]
+
+    from ct_clip_tpu.cli import main as cli_main
+
+    cli_main(["recompress", "--data", str(data), "--jobs", "2",
+              "--chunk-mb", "1"])
+
+    for i in range(2):
+        for threads in (1, 4):
+            got, _ = ds.read_raw(i, dtype=np.int16, layout="zyx",
+                                 inflate_threads=threads)
+            np.testing.assert_array_equal(got, ref[i])
+    # scaled-f32 default path also fine on indexed files
+    f32, _ = ds.read_raw(0)
+    np.testing.assert_array_equal(
+        f32, ref[0].transpose(0, 2, 1).astype(np.float32))
+
+
 def test_read_raw_int16_zyx_parity(tmp_path):
     """The hot ingest path (raw int16, zero-copy (Z, Y, X) layout, device
     transpose) must reproduce the default scaled-f32 (Z, X, Y) path exactly
