@@ -127,7 +127,7 @@ class CTViT(nn.Module):
         s2, b2 = self.patch_norm_out()
 
         if video.ndim == 3:  # pre-shuffled patch rows
-            from ..ops.pallas.patchify import _xla_row_embed, fused_row_embed
+            from ..ops.pallas.patchify import fused_row_embed, row_embed_train
 
             b, n, patch_dim = video.shape
             assert patch_dim == cfg.patch_dim, \
@@ -135,7 +135,9 @@ class CTViT(nn.Module):
             t = cfg.num_frames // pt
             h = w = cfg.image_size // p
             assert n == t * h * w, f"patch rows {n} != {t}*{h}*{w}"
-            embed = _xla_row_embed if train else fused_row_embed
+            # train: XLA composition stores/reuses residuals in backward;
+            # infer: single fused kernel (see row_embed_train docstring)
+            embed = row_embed_train if train else fused_row_embed
             tokens = embed(video, self.patch_norm_in_scale,
                            self.patch_norm_in_bias, self.patch_proj_kernel,
                            self.patch_proj_bias, s2, b2, 1e-5, self.dtype)
@@ -230,7 +232,7 @@ class CTViT(nn.Module):
         hw = self.config.image_size // self.config.patch_size
         return self.spatial_rel_pos_bias(hw, hw)
 
-    def _temporal_grid_path(self, t: int, h: int, w: int, d: int,
+    def _temporal_grid_path(self, b: int, t: int, h: int, w: int, d: int,
                             deterministic: bool) -> bool:
         """True when the temporal stage can run in the NATIVE (b, t, h*w, d)
         layout: cubic grid (the reference's PEG memory reinterpretation,
@@ -245,7 +247,11 @@ class CTViT(nn.Module):
             return False  # in-kernel dropout is sequence-major only
         from ..ops.pallas.small_attention import _plan_grid
 
-        return _plan_grid(1, t, h * w, d, cfg.heads, cfg.dim_head) is not None
+        # gate with the REAL batch: if _plan_grid ever grows a
+        # batch-dependent constraint, the gate and the kernel's own re-plan
+        # (fused_small_qknorm_attention_grid) must not desynchronize
+        return _plan_grid(b, t, h * w, d, cfg.heads,
+                          cfg.dim_head) is not None
 
     def encode(self, tokens: jnp.ndarray, deterministic: bool = True,
                spatial_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -261,7 +267,7 @@ class CTViT(nn.Module):
                                          attn_bias=attn_bias,
                                          deterministic=deterministic)
 
-        if self._temporal_grid_path(t, h, w, d, deterministic):
+        if self._temporal_grid_path(b, t, h, w, d, deterministic):
             # native layout: (b*t, h*w, d) -> (b, t, h*w, d) is free; the
             # temporal transformer reads t-columns straight from the grid
             x = x.reshape(b, t, h * w, d)
@@ -287,7 +293,7 @@ class CTViT(nn.Module):
         b, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
 
-        if self._temporal_grid_path(t, h, w, d, deterministic):
+        if self._temporal_grid_path(b, t, h, w, d, deterministic):
             x = tokens.reshape(b, t, h * w, d)
             x = self.dec_temporal_transformer(x, video_shape=video_shape,
                                               deterministic=deterministic,

@@ -563,8 +563,13 @@ def _rows_block(n: int, patch_dim: int, fwd: bool) -> Optional[int]:
 
 def _use_pallas_rows(n: int, patch_dim: int, dim: int) -> bool:
     # patch_dim need not be lane-aligned: Mosaic pads the minor dim (4000 ->
-    # 4096, 2.4% waste) and the row-wise LN statistics mask the padding
-    if patch_dim % 8 or dim % 128 or _rows_block(n, patch_dim, True) is None:
+    # 4096, 2.4% waste) and the row-wise LN statistics mask the padding.
+    # BOTH block plans must exist: the bwd budget is 2x tighter, and a
+    # fwd-only gate would send _re_bwd into a None block plan (TypeError
+    # during backward) for large patch_dim configs.
+    if (patch_dim % 8 or dim % 128
+            or _rows_block(n, patch_dim, True) is None
+            or _rows_block(n, patch_dim, False) is None):
         return False
     try:
         return kernels_supported()
@@ -572,7 +577,19 @@ def _use_pallas_rows(n: int, patch_dim: int, dim: int) -> bool:
         return False
 
 
-def _xla_row_embed(rows, s1, b1, wi, pbias, s2, b2, eps, dtype):
+def row_embed_train(rows, s1, b1, wi, pbias, s2, b2, eps, dtype):
+    """XLA composition of the row embed (LN -> @wi + pbias -> LN) — the
+    TRAINING path, and the CPU-identical twin the fused kernel is tested
+    against.
+
+    Load-bearing train-vs-infer split (models/ctvit.py embed_patches): under
+    `jax.grad`, XLA stores the cheap LN residuals and reuses them in the
+    backward, while `fused_row_embed`'s custom VJP would recompute the
+    forward flash-style — slower fwd+bwd here because the recomputation is
+    a full extra pass over the (b, n, 4000) rows.  Inference has no backward
+    and wants the fused single-kernel pass instead.  Keep callers on this
+    public name: the underscore twin `_xla_row_embed` is an internal detail
+    of the VJP fallback."""
     from ..norms import layer_norm
 
     x = layer_norm(rows, s1, b1, eps)
@@ -580,6 +597,9 @@ def _xla_row_embed(rows, s1, b1, wi, pbias, s2, b2, eps, dtype):
                    preferred_element_type=jnp.float32)
     yb = y.astype(dtype) + pbias.astype(dtype)
     return layer_norm(yb, s2, b2, eps).astype(dtype)
+
+
+_xla_row_embed = row_embed_train
 
 
 def _rows_weights(s1, b1, wi, pbias, s2, b2, dtype):

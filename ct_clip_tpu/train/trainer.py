@@ -119,11 +119,18 @@ class CTClipTrainer:
         self.ckpt = CheckpointManager(self.results_folder / "checkpoints")
         self._zero_shot = None  # hoisted eval classifier, compiled once
 
+    def _model_target_shape(self):
+        # the fused preprocess must emit exactly the geometry the image
+        # tower consumes (production: 240, 480, 480)
+        vcfg = self.model.config.ctvit
+        return (vcfg.num_frames, vcfg.image_size, vcfg.image_size)
+
     def _default_preprocess(self, sample, clip_before_resample: bool):
         # int16 zyx raw samples: relayout + model-dtype cast ride the fused
         # preprocess; halves the host->device bytes vs scaled f32
         return preprocess_sample(sample, clip_before_resample,
-                                 out_dtype=self.cfg.dtype)
+                                 out_dtype=self.cfg.dtype,
+                                 target_shape=self._model_target_shape())
 
     def _rows_preprocess(self, sample, clip_before_resample: bool):
         # patch-major rows: the patchify shuffle runs once at ingest
@@ -133,7 +140,8 @@ class CTClipTrainer:
         return preprocess_sample_rows(
             sample, clip_before_resample, out_dtype=self.cfg.dtype,
             temporal_patch_size=vcfg.temporal_patch_size,
-            patch_size=vcfg.patch_size)
+            patch_size=vcfg.patch_size,
+            target_shape=self._model_target_shape())
 
     # ------------------------------------------------------------------ data
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -417,7 +417,7 @@ def test_ctvit_native_temporal_layout_matches_transpose_path_interpret():
     variables = model.init(jax.random.PRNGKey(0), video)
 
     assert model.apply(variables, method=lambda m: m._temporal_grid_path(
-        8, 8, 8, cfg.dim, True))
+        2, 8, 8, 8, cfg.dim, True))
     got = model.apply(variables, video, return_encoded_tokens=True)
 
     import ct_clip_tpu.models.ctvit as ctvit_mod

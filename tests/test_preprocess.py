@@ -139,6 +139,47 @@ def test_matmul_method_matches_gather():
                                        atol=2e-5)
 
 
+def test_patch_row_ingest_repeated_epochs():
+    """Regression for the round-4 driver-bench crash: repeated epochs over
+    the patch-row ingest chain (per-volume preprocess_to_patch_rows dispatch
+    -> stack_standard batch -> jitted scored step, one sync per epoch) must
+    produce identical results every epoch and must not grow the jitted-stack
+    cache after warmup (the old fresh-jax.jit-per-call stack retraced every
+    batch and its throwaway executables could be collected mid-flight,
+    surfacing an async INVALID_ARGUMENT at the epoch sync).  Runs on every
+    backend; on-chip runs exercise the forced-layout TPU path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ct_clip_tpu.ops.resample import preprocess_to_patch_rows
+    from ct_clip_tpu.utils import _stack_standard_jit, stack_standard
+
+    rng = np.random.RandomState(9)
+    vols = [jnp.asarray(rng.randint(0, 2048, (60, 128, 128))
+                        .astype(np.int16)) for _ in range(4)]
+    spacing = jnp.asarray([3.0, 2.0, 2.0], jnp.float32)
+    kw = dict(clip_before_resample=True, target_shape=(40, 80, 80),
+              temporal_patch_size=10, patch_size=20, input_layout="zyx",
+              out_dtype=jnp.bfloat16)
+
+    score = jax.jit(lambda b: jnp.sum(b.astype(jnp.float32), axis=(1, 2)))
+
+    def epoch():
+        window = [preprocess_to_patch_rows(v, spacing, jnp.float32(1.0),
+                                           jnp.float32(-1024.0), **kw)
+                  for v in vols]
+        rows = stack_standard(window)
+        out = score(rows)
+        return np.asarray(out)  # the epoch sync the r4 bench crashed in
+
+    first = epoch()
+    cache_after_warm = _stack_standard_jit.cache_info().currsize
+    for _ in range(3):
+        np.testing.assert_array_equal(epoch(), first)
+    assert np.isfinite(first).all()
+    assert _stack_standard_jit.cache_info().currsize == cache_after_warm
+
+
 def test_preprocess_to_patch_rows_matches_volume_path():
     """preprocess_to_patch_rows == preprocess_volume -> patchify: the
     shuffle moves values untouched (ingest-format equivalence)."""

@@ -161,6 +161,63 @@ def test_ctclip_trainer_e2e_with_auto_resume(tmp_path):
     assert int(state2.step) == 3
 
 
+def test_ctclip_trainer_patch_rows_mesh_matches_volume_loss(tmp_path):
+    """CTClipTrainer's patch-rows ingest (patch_rows=True: preprocess emits
+    (n_tokens, patch_dim) rows, stacked per batch and sharded over the mesh
+    `data` axis) must reproduce the volume-input path's training loss on the
+    8-virtual-device CPU mesh — the multi-device coverage of the trainer
+    auto-mode (trainer.py patch_rows; ref: scripts/CTCLIPTrainer.py:178-193
+    prepared-dataloader equivalent)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_data import _make_dataset, VOCAB
+    from ct_clip_tpu import TrainConfig
+    from ct_clip_tpu.data import CTReportDataset, WordPieceTokenizer
+    from ct_clip_tpu.models import CTCLIP
+    from ct_clip_tpu.train import CTClipTrainer
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
+
+    data, reports, meta, _ = _make_dataset(tmp_path, n=8)
+    train_ds = CTReportDataset(data, reports, meta, percent=100)
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(VOCAB) + "\n")
+    tok = WordPieceTokenizer(str(vocab_path))
+
+    cfg = _tiny_clip_cfg()
+    tcfg = TrainConfig(batch_size=8, lr=1e-4, num_train_steps=1,
+                       save_results_every=100, save_model_every=100,
+                       compute_dtype="float32")
+
+    def run(patch_rows, folder):
+        trainer = CTClipTrainer(CTCLIP(cfg), tok, train_dataset=train_ds,
+                                config=tcfg, results_folder=str(folder),
+                                num_workers=1, patch_rows=patch_rows)
+        batch = next(trainer._batches())
+        v = cfg.ctvit
+        n_tok = ((v.num_frames // v.temporal_patch_size)
+                 * (v.image_size // v.patch_size) ** 2)
+        if patch_rows:
+            assert batch["video"].shape == (8, n_tok, v.patch_dim)
+        else:
+            assert batch["video"].shape == (8, v.num_frames, v.image_size,
+                                            v.image_size, 1)
+        with trainer.mesh:
+            trainer._init_state(batch)
+            rng = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), 0)
+            state, metrics = trainer.step_fn(trainer.state, batch, rng)
+        return float(metrics["loss"])
+
+    loss_rows = run(True, tmp_path / "rows")
+    loss_vol = run(False, tmp_path / "vol")
+    assert np.isfinite(loss_rows)
+    np.testing.assert_allclose(loss_rows, loss_vol, rtol=2e-5, atol=2e-5)
+
+
 def _tiny_clip_cfg():
     from ct_clip_tpu import BertConfig, CTCLIPConfig, CTViTConfig
 
