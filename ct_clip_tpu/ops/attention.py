@@ -19,6 +19,7 @@ ops/pallas for the spatial stage.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -69,6 +70,76 @@ def relative_position_grid(dims: Tuple[int, ...], log_dist: bool = True) -> jnp.
     return rel
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _cpb_expand(table, dims):
+    """(prod(2d-1), heads) offset table -> (N, N, heads) pairwise bias via a
+    static index map (N = prod(dims)).
+
+    Forward is a plain gather.  The custom VJP replaces XLA's
+    gather-gradient — a serial (N^2, heads) -> (offsets, heads) scatter-add,
+    2.2 ms/step at the production spatial shape plus reorder copies, and
+    GSPMD-hostile — with two tiny indicator matmuls, exploiting that the
+    offset index factorizes per axis (idx = idx_h * (2w-1) + idx_w):
+    d_table = Eh @ reorder(g) @ Ew^T with Eh[a, (ih,jh)] = [ih-jh+h-1 = a].
+    MXU work is ~0.25 GFLOP; numerics are exact (f32 sums of the same
+    terms, different association).  Non-2D dims fall back to scatter."""
+    import numpy as np
+
+    idx = _cpb_index_map(dims)
+    return jnp.take(table, jnp.asarray(idx), axis=0)
+
+
+def _cpb_index_map(dims):
+    import numpy as np
+
+    pos = np.stack(np.meshgrid(*[np.arange(d) for d in dims],
+                               indexing="ij"), axis=-1).reshape(-1, len(dims))
+    rel = pos[:, None, :] - pos[None, :, :]
+    idx = np.zeros(rel.shape[:2], np.int32)
+    for a, d in enumerate(dims):
+        idx = idx * (2 * d - 1) + (rel[..., a] + d - 1)
+    return idx
+
+
+def _axis_indicator(d: int):
+    """(2d-1, d*d) f32 with E[a, i*d + j] = [i - j + d - 1 == a]."""
+    import numpy as np
+
+    i = np.arange(d)
+    rel = (i[:, None] - i[None, :] + d - 1).reshape(-1)   # (d*d,)
+    return (np.arange(2 * d - 1)[:, None] == rel[None, :]).astype(np.float32)
+
+
+def _cpb_expand_fwd(table, dims):
+    return _cpb_expand(table, dims), None
+
+
+def _cpb_expand_bwd(dims, _, g):
+    gf = g.astype(jnp.float32)
+    if len(dims) == 2:
+        h, w = dims
+        hh = jnp.asarray(_axis_indicator(h))  # (2h-1, h*h)
+        ww = jnp.asarray(_axis_indicator(w))  # (2w-1, w*w)
+        heads = g.shape[-1]
+        # (hw, hw, H) -> (ih, jh, iw, jw, H) pair-major per axis
+        g5 = gf.reshape(h, w, h, w, heads).transpose(0, 2, 1, 3, 4)
+        t1 = hh @ g5.reshape(h * h, w * w * heads)
+        t2 = ww @ (t1.reshape(2 * h - 1, w * w, heads)
+                   .transpose(1, 0, 2).reshape(w * w, -1))
+        dt = (t2.reshape(2 * w - 1, 2 * h - 1, heads)
+              .transpose(1, 0, 2).reshape((2 * h - 1) * (2 * w - 1), heads))
+        return (dt.astype(g.dtype),)
+    idx = jnp.asarray(_cpb_index_map(dims))
+    n_off = 1
+    for d in dims:
+        n_off *= 2 * d - 1
+    dt = jnp.zeros((n_off, g.shape[-1]), gf.dtype).at[idx].add(gf)
+    return (dt.astype(g.dtype),)
+
+
+_cpb_expand.defvjp(_cpb_expand_fwd, _cpb_expand_bwd)
+
+
 class ContinuousPositionBias(nn.Module):
     """MLP over log-distance relative coords -> per-head bias
     (transformer_maskgit/attention.py:229-276; SwinV2 arXiv:2111.09883)."""
@@ -98,13 +169,6 @@ class ContinuousPositionBias(nn.Module):
         if self.log_dist:
             uniq = np.sign(uniq) * np.log(np.abs(uniq) + 1.0)
 
-        pos = np.stack(np.meshgrid(*[np.arange(d) for d in dimensions],
-                                   indexing="ij"), axis=-1).reshape(-1, nd)
-        rel = pos[:, None, :] - pos[None, :, :]  # (N, N, nd) int offsets
-        idx = np.zeros(rel.shape[:2], np.int32)
-        for a, d in enumerate(dimensions):
-            idx = idx * (2 * d - 1) + (rel[..., a] + d - 1)
-
         x = jnp.asarray(uniq)
         x = nn.Dense(self.dim, dtype=jnp.float32, name="net_0")(x)
         x = nn.leaky_relu(x, negative_slope=0.1)
@@ -112,7 +176,9 @@ class ContinuousPositionBias(nn.Module):
             x = nn.Dense(self.dim, dtype=jnp.float32, name=f"net_{li + 1}")(x)
             x = nn.leaky_relu(x, negative_slope=0.1)
         x = nn.Dense(self.heads, dtype=jnp.float32, name="net_out")(x)
-        bias = jnp.take(x, jnp.asarray(idx), axis=0)  # (N, N, heads)
+        # gather with a matmul-form VJP (training runs this every step;
+        # XLA's gather-grad is a slow serial scatter, see _cpb_expand)
+        bias = _cpb_expand(x, tuple(dimensions))  # (N, N, heads)
         return jnp.transpose(bias, (2, 0, 1))  # (heads, N, N)
 
 

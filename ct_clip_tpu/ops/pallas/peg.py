@@ -82,19 +82,23 @@ def xla_peg_conv(x, kernel, bias, causal: bool, residual: bool = False,
 
 def lax_peg_conv(x, kernel, bias, causal: bool, residual: bool = False,
                  causal_axis: int = 0):
-    """Grouped-conv forward: bf16 taps, f32 accumulation, one rounding —
-    the same recipe as the pointwise form (maxdiff at production shape:
-    one bf16 ulp).  Forward only; the custom_vjp below never
-    differentiates it (see module docstring for why)."""
+    """Grouped-conv forward: bf16 taps, f32 accumulation INSIDE the conv,
+    output emitted in x.dtype (the conv always accumulates f32 internally
+    on TPU).  The residual/bias adds then run in x.dtype — for bf16 that is
+    1-2 ulp more rounding than the pointwise twin's single f32 rounding,
+    but emitting bf16 straight from the conv halves the HBM traffic of the
+    conv output + the relayout fusion behind it (measured 4.7 ms/step
+    across the 16 train-step conv instances; on-chip tests compare at 2e-2
+    rel).  Forward only; the custom_vjp below never differentiates it (see
+    module docstring for why)."""
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NDHWC", "DHWIO", "NDHWC"))
     out = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1, 1), _pads(causal, causal_axis),
-        dimension_numbers=dn, feature_group_count=x.shape[-1],
-        preferred_element_type=jnp.float32)
+        dimension_numbers=dn, feature_group_count=x.shape[-1])
     if residual:
-        out = out + x.astype(jnp.float32)
-    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+        out = out + x
+    return out + bias.astype(x.dtype)
 
 
 def _plan(shape, dtype) -> Optional[int]:
@@ -131,7 +135,8 @@ def lax_peg_dx(do, kernel, causal: bool, residual: bool = False,
     residual adds the identity term.  Same lowering argument as the
     forward: XLA's depthwise conv beats the hand stencil, and this op is
     hand-written (never differentiated), so the grouped-conv grad bug
-    cannot bite."""
+    cannot bite.  Emits do.dtype straight from the conv (f32 internal
+    accumulation; see lax_peg_conv on the bandwidth/rounding trade)."""
     (pt0, pt1), (ph0, ph1), (pw0, pw1) = _pads(causal, causal_axis)
     kf = kernel[::-1, ::-1, ::-1].astype(do.dtype)
     dn = jax.lax.conv_dimension_numbers(do.shape, kf.shape,
@@ -139,11 +144,10 @@ def lax_peg_dx(do, kernel, causal: bool, residual: bool = False,
     dx = jax.lax.conv_general_dilated(
         do, kf, (1, 1, 1),
         ((2 - pt0, 2 - pt1), (2 - ph0, 2 - ph1), (2 - pw0, 2 - pw1)),
-        dimension_numbers=dn, feature_group_count=do.shape[-1],
-        preferred_element_type=jnp.float32)
+        dimension_numbers=dn, feature_group_count=do.shape[-1])
     if residual:
-        dx = dx + do.astype(jnp.float32)
-    return dx.astype(do.dtype)
+        dx = dx + do
+    return dx
 
 
 def _dw_kernel(do_ref, x_ref, dw_ref, db_ref, *, causal, causal_axis):

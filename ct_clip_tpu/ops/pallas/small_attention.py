@@ -568,8 +568,12 @@ def _plan_grid(b, n, S, dim, heads, dim_head) -> Optional[int]:
             return None
     except Exception:  # noqa: BLE001
         return None
+    # grid-layout blocks are (1, n, g, dim): g is the SECOND-MINOR dim of
+    # the block, so it must be sublane-aligned itself (g % 8) or span the
+    # whole S axis — (g * n) % 8 alone lowers fine sequence-major but is
+    # rejected by Mosaic here (found by an on-chip g-sweep)
     for g in (16, 8, 32, 4, 2, 1):
-        if S % g == 0 and (g * n) % 8 == 0 \
+        if S % g == 0 and (g % 8 == 0 or g == S) \
                 and _vmem_need(g, n, dim, heads, dim_head) <= _VMEM_BUDGET:
             return g
     return None
@@ -579,7 +583,7 @@ def _plan_grid_bwd(b, n, S, dim, heads, dim_head) -> Optional[int]:
     if _plan_grid(b, n, S, dim, heads, dim_head) is None:
         return None
     for g in (16, 8, 32, 4, 2, 1):
-        if S % g == 0 and (g * n) % 8 == 0 \
+        if S % g == 0 and (g % 8 == 0 or g == S) \
                 and _vmem_need_bwd(g, n, dim, heads, dim_head) \
                 <= _VMEM_LIMIT_BWD - 16 * 1024 * 1024:
             return g

@@ -110,6 +110,10 @@ def report(tracedir: str, iters: int, batch: int) -> None:
         totals = defaultdict(float)
         total_ps = 0.0
         for line in plane.lines:
+            if line.name == "XLA Modules":
+                mod_ps = sum(ev.duration_ps for ev in line.events)
+                print(f"  [modules line: {mod_ps / 1e9 / iters:.2f} ms/step "
+                      f"incl. inter-op gaps]")
             if "XLA Ops" not in line.name and "Steps" not in line.name \
                     and "XLA Modules" not in line.name:
                 # op-level lines vary by version; accept op lines only
@@ -133,7 +137,7 @@ def report(tracedir: str, iters: int, batch: int) -> None:
             print(f"  {v / 1e9 / iters:8.3f} ms/step  {k}")
         if os.environ.get("PROFILE_TOP_OPS"):
             print("  -- top individual ops --")
-            for k, v in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
+            for k, v in sorted(totals.items(), key=lambda kv: -kv[1])[:80]:
                 print(f"  {v / 1e9 / iters:8.3f} ms/step  {k[:160]}")
 
 
