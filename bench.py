@@ -14,11 +14,14 @@ Figures reported (one JSON line):
 * `mfu`: `value` against the analytic FLOP count of the scored graph and
   the chip's peak bf16 FLOP/s (CTCLIP_TPU_PEAK_TFLOPS, default 197 = v5e).
 * `device_pipeline_vol_per_s`: int16 (Z, Y, X) volumes already resident in
-  HBM -> fused preprocess (HU rescale + matmul-form resample with the
+  HBM -> fused preprocess (HU rescale + matmul-form bf16 resample with the
   relayout folded into the x-axis contraction + crop + patchify shuffle to
-  patch rows) -> batched encode + scoring.  The number a real PCIe-attached
-  host is bound by, and the honest proxy for the >=10 vol/s north-star on a
-  box whose host->device path is a slow tunnel.
+  patch rows) written straight into the batch buffer slot
+  (preprocess_rows_into: one dispatch/volume, no stack copy) -> batched
+  encode + scoring, resident set looped 3x per timed epoch to amortize the
+  epoch-end sync.  The number a real PCIe-attached host is bound by, and
+  the honest proxy for the >=10 vol/s north-star on a box whose
+  host->device path is a slow tunnel.
 * `h2d_MBps_ceiling`: measured host->device bandwidth (timed device_put of
   one bucketed int16 volume) — the hard ceiling on any e2e number here.
 * `e2e_pipeline_vol_per_s`: the full production pipeline on real files —
@@ -261,26 +264,51 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
     print(f"[bench] precompiled {n_buckets} preprocess bucket shapes "
           f"in {t_precompile:.0f}s", file=sys.stderr)
 
-    # device-side pipeline: volumes already resident in HBM -> transpose +
-    # fused preprocess + encode + score (what a PCIe host is bound by)
+    # device-side pipeline: volumes already resident in HBM -> fused
+    # preprocess writing straight into the batch buffer slot (one dispatch
+    # per volume, no stack copy; ops/resample.preprocess_rows_into) ->
+    # batched encode + score (what a PCIe host is bound by)
+    import jax.numpy as jnp
+
+    from ct_clip_tpu import CTCLIPConfig
+    from ct_clip_tpu.ops.resample import preprocess_rows_into
+    from ct_clip_tpu.utils import device_put_standard
+
+    vcfg = CTCLIPConfig().ctvit
+    n_tok = ((vcfg.num_frames // vcfg.temporal_patch_size)
+             * (vcfg.image_size // vcfg.patch_size) ** 2)
+    # double buffer: the next batch's first slot write donates its buffer
+    # while the previous batch's score may still be reading the other one
+    bufs = [device_put_standard(
+        np.zeros((batch, n_tok, vcfg.patch_dim), dtype=jnp.bfloat16))
+        for _ in range(2)]
+
     resident = [(jax.device_put(s.vol), s) for s in samples]
     for dv, _ in resident:
         _sync(dv[:1, :1, :4])
 
+    reps = 3  # loop the resident set: amortizes the one epoch-end sync
+
     def device_epoch() -> float:
-        outs, window = [], []
+        outs = []
+        bi = 0
         t0 = time.time()
-        for dv, s in resident:
-            window.append(_preprocess_int16_zyx(dv, s))
-            if len(window) == batch:
-                # standard-layout batch: plain stack goes compact on
-                # TPU and the scored step pays a relayout copy
-                rows = stack_standard(window)
-                outs.append(score_jit(variables, rows, prompts))
-                window = []
+        for _ in range(reps):
+            slot = 0
+            for dv, s in resident:
+                bufs[bi] = preprocess_rows_into(
+                    bufs[bi], slot, dv, jnp.asarray(s.spacing),
+                    jnp.float32(s.slope), jnp.float32(s.intercept),
+                    true_sizes=jnp.asarray(s.true_sizes[[0, 2, 1]]),
+                    clip_before_resample=True, input_layout="zyx")
+                slot += 1
+                if slot == batch:
+                    outs.append(score_jit(variables, bufs[bi], prompts))
+                    bi ^= 1
+                    slot = 0
         for o in outs:
             _sync(o)
-        return time.time() - t0
+        return (time.time() - t0) / reps
 
     device_epoch()  # warm (score shape already compiled; first dispatch)
     t_dev = min(device_epoch() for _ in range(3))

@@ -91,6 +91,30 @@ def preprocess_sample_rows(sample: "RawSample", clip_before_resample: bool,
         input_layout=sample.layout, out_dtype=out_dtype, **kwargs)
 
 
+def preprocess_sample_rows_into(batch_buf, slot: int, sample: "RawSample",
+                                clip_before_resample: bool,
+                                temporal_patch_size: int = 10,
+                                patch_size: int = 20, **kwargs):
+    """preprocess_sample_rows fused with batch assembly: writes the sample's
+    patch rows straight into `batch_buf[slot]` (donated) and returns the
+    updated buffer — one dispatch per volume, no host-side window + stack
+    (ops/resample.preprocess_rows_into)."""
+    import jax.numpy as jnp
+
+    from ..ops.resample import preprocess_rows_into
+
+    true = sample.true_sizes
+    if sample.layout == "zyx":
+        true = true[[0, 2, 1]]  # semantic (z, x, y) order
+    return preprocess_rows_into(
+        batch_buf, slot, jnp.asarray(sample.vol),
+        jnp.asarray(sample.spacing), jnp.float32(sample.slope),
+        jnp.float32(sample.intercept), true_sizes=jnp.asarray(true),
+        clip_before_resample=clip_before_resample,
+        temporal_patch_size=temporal_patch_size, patch_size=patch_size,
+        input_layout=sample.layout, **kwargs)
+
+
 class VolumeLoader:
     """Iterates RawSamples with `num_workers` reader threads and a bounded
     prefetch queue.  Shuffling + infinite cycling for training."""

@@ -148,10 +148,14 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
     volumes, dump npz + accession list + AUROC table (zero_shot.py:149-165).
 
     `patch_rows` (default: auto — on for TPU backends): preprocess emits the
-    model's native patch-major rows, so each scored step skips the patchify
-    shuffle (~1.4 ms/volume at production shape)."""
+    model's native patch-major rows written straight into the batch buffer
+    slot (preprocess_rows_into: one dispatch/volume, no stack copy), so
+    each scored step skips the patchify shuffle and the batch is born in
+    its final layout."""
+    import jax.numpy as jnp
+
     from ..data.loader import (VolumeLoader, preprocess_sample,
-                               preprocess_sample_rows)
+                               preprocess_sample_rows_into)
     from ..evals.metrics import evaluate_internal
 
     if patch_rows is None:  # auto: rows need the CTViT tower's embed path
@@ -166,29 +170,51 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
                           raw_dtype=np.int16, raw_layout="zyx")
 
     preds, labels, names = [], [], []
-    buf = []
-    for sample in loader:
-        if patch_rows:
-            vol = preprocess_sample_rows(
-                sample, dataset.clip_before_resample,
-                out_dtype=getattr(model, "dtype", None),
+    if patch_rows:
+        from ..utils import device_put_standard
+
+        n_tok = ((vcfg.num_frames // vcfg.temporal_patch_size)
+                 * (vcfg.image_size // vcfg.patch_size) ** 2)
+        dtype = getattr(model, "dtype", None) or jnp.float32
+        # double buffer: the next batch's first slot write donates its
+        # buffer while the previous batch's score may still read the other
+        bufs = [device_put_standard(
+            np.zeros((batch_size, n_tok, vcfg.patch_dim), dtype=dtype))
+            for _ in range(2)]
+        target = (vcfg.num_frames, vcfg.image_size, vcfg.image_size)
+        bi, slot, metas = 0, 0, []
+        for sample in loader:
+            bufs[bi] = preprocess_sample_rows_into(
+                bufs[bi], slot, sample, dataset.clip_before_resample,
                 temporal_patch_size=vcfg.temporal_patch_size,
-                patch_size=vcfg.patch_size)
-            buf.append((vol, sample.meta))
+                patch_size=vcfg.patch_size, target_shape=target)
+            slot += 1
+            metas.append(sample.meta)
+            if slot == batch_size:
+                _score_batch(clf, bufs[bi], metas, preds, labels, names)
+                bi ^= 1
+                slot, metas = 0, []
+        if metas:
+            # tail batch: the unwritten slots hold the previous batch's rows
+            # (or zeros) at the fixed jit shape; keep only the real rows
+            _score_batch(clf, bufs[bi], metas, preds, labels, names)
+    else:
+        target = ((vcfg.num_frames, vcfg.image_size, vcfg.image_size)
+                  if model.image_encoder is None else None)
+        buf = []
+        for sample in loader:
+            vol = preprocess_sample(sample, dataset.clip_before_resample,
+                                    out_dtype=getattr(model, "dtype", None),
+                                    **({"target_shape": target}
+                                       if target else {}))
+            buf.append((vol[..., None], sample.meta))
             if len(buf) == batch_size:
                 _flush(clf, buf, preds, labels, names)
                 buf = []
-            continue
-        vol = preprocess_sample(sample, dataset.clip_before_resample,
-                                out_dtype=getattr(model, "dtype", None))
-        buf.append((vol[..., None], sample.meta))
-        if len(buf) == batch_size:
-            _flush(clf, buf, preds, labels, names)
-            buf = []
-    if buf:
-        # pad the final partial batch to the fixed jit shape (avoids a fresh
-        # compile for the tail), then keep only the real rows
-        _flush(clf, buf, preds, labels, names, pad_to=batch_size)
+        if buf:
+            # pad the final partial batch to the fixed jit shape (avoids a
+            # fresh compile for the tail), then keep only the real rows
+            _flush(clf, buf, preds, labels, names, pad_to=batch_size)
 
     predicted = np.concatenate(preds) if preds else np.zeros((0, len(pathologies)))
     real = np.stack(labels) if labels else np.zeros((0, len(pathologies)))
@@ -203,6 +229,16 @@ def run_zero_shot(model: CTCLIP, variables: Dict, tokenizer, dataset,
         df = evaluate_internal(predicted, real, list(pathologies), str(plotdir))
         _write_table(df, plotdir / "aurocs.xlsx")
     return out
+
+
+def _score_batch(clf, videos, metas, preds, labels, names):
+    """Score a pre-assembled batch buffer; keep only the first len(metas)
+    rows (tail batches reuse the fixed-shape buffer)."""
+    preds.append(clf.score_batch(videos)[:len(metas)])
+    for meta in metas:
+        labels.append(meta.labels if meta.labels is not None
+                      else np.zeros(len(clf.pathologies), np.float32))
+        names.append(meta.accession)
 
 
 def _flush(clf, buf, preds, labels, names, pad_to: Optional[int] = None):

@@ -153,6 +153,52 @@ def test_bert_text_embedder_contract():
     os.unlink(path)
 
 
+def test_run_zero_shot_patch_rows_matches_volume_path(tmp_path):
+    """run_zero_shot with patch_rows=True (fused batch-slot ingest,
+    preprocess_sample_rows_into + double buffer, incl. a tail batch) must
+    produce the same predictions as the volume-input path."""
+    from tests.test_data import _make_dataset
+    from tests.test_training import tiny_cfg
+    from ct_clip_tpu.data import CTReportDatasetInfer
+    from ct_clip_tpu.data.tokenizer import WordPieceTokenizer
+    from ct_clip_tpu.inference import run_zero_shot
+    from ct_clip_tpu.models import CTCLIP
+
+    data, reports, meta, labels = _make_dataset(tmp_path, n=3,
+                                                with_labels=True)
+    ds = CTReportDatasetInfer(data, reports, meta, labels)
+
+    cfg = tiny_cfg(gather_negatives=False)
+    ct = cfg.ctvit.replace(image_size=32, patch_size=8, num_frames=16,
+                           temporal_patch_size=4, dim=8, codebook_size=16,
+                           dim_head=4, heads=2)
+    hw = ct.image_size // ct.patch_size
+    cfg = cfg.replace(ctvit=ct, dim_image=hw * hw * ct.dim, dim_latent=8)
+    model = CTCLIP(cfg)
+    ids = jnp.zeros((1, 12), jnp.int32)
+    video = jnp.zeros((1, 16, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids),
+                           video, return_loss=False)
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "is", "present",
+             "not", "##ly"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = WordPieceTokenizer(str(vp))
+
+    # batch 2 over 3 volumes -> one full batch + a tail batch
+    outs = {}
+    for rows in (False, True):
+        outs[rows] = run_zero_shot(model, variables, tok, ds,
+                                   str(tmp_path / f"zs_{rows}"),
+                                   batch_size=2, num_workers=1,
+                                   save_artifacts=False, patch_rows=rows)
+    assert outs[True]["accessions"] == outs[False]["accessions"]
+    assert outs[True]["predicted"].shape == (3, 18)
+    np.testing.assert_allclose(outs[True]["predicted"],
+                               outs[False]["predicted"], atol=2e-5)
+
+
 def test_export_latents(tmp_path):
     """forward_data.py equivalent: text latent + pre-pool token grid npz."""
     from tests.test_training import tiny_cfg  # reuse tiny config factory

@@ -180,6 +180,34 @@ def test_patch_row_ingest_repeated_epochs():
     assert _stack_standard_jit.cache_info().currsize == cache_after_warm
 
 
+def test_preprocess_rows_into_matches_per_volume():
+    """preprocess_rows_into (fused batch-slot ingest, donated buffer) fills
+    each slot with exactly preprocess_to_patch_rows' output and leaves the
+    other slots untouched."""
+    import jax.numpy as jnp
+
+    from ct_clip_tpu.ops.resample import (preprocess_rows_into,
+                                          preprocess_to_patch_rows)
+
+    rng = np.random.RandomState(6)
+    kw = dict(clip_before_resample=True, target_shape=(40, 80, 80),
+              temporal_patch_size=10, patch_size=20, input_layout="zyx")
+    spacing = jnp.asarray([3.0, 2.0, 2.0], jnp.float32)
+    vols = [jnp.asarray(rng.randint(0, 2048, (60, 128, 128))
+                        .astype(np.int16)) for _ in range(3)]
+    want = [preprocess_to_patch_rows(v, spacing, jnp.float32(1.0),
+                                     jnp.float32(-1024.0),
+                                     out_dtype=jnp.bfloat16, **kw)
+            for v in vols]
+    buf = jnp.zeros((3, want[0].shape[0], want[0].shape[1]), jnp.bfloat16)
+    for i, v in enumerate(vols):
+        buf = preprocess_rows_into(buf, i, v, spacing, jnp.float32(1.0),
+                                   jnp.float32(-1024.0), **kw)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(buf[i], np.float32),
+                                      np.asarray(want[i], np.float32))
+
+
 def test_preprocess_to_patch_rows_matches_volume_path():
     """preprocess_to_patch_rows == preprocess_volume -> patchify: the
     shuffle moves values untouched (ingest-format equivalence)."""
