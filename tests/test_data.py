@@ -72,6 +72,21 @@ def test_wordpiece_matches_hf_bert_tokenizer(vocab_file):
                                   np.asarray(enc_hf["attention_mask"]))
 
 
+def test_wordpiece_real_cxrbert_vocab_if_available():
+    """Token-id parity under the REAL CXR-BERT vocab
+    (scripts/CTCLIPTrainer.py:251) — env-gated because the vocab file is
+    not redistributable into an air-gapped tree: set
+    CTCLIP_CXRBERT_VOCAB=/path/to/vocab.txt to run; cross-checks both
+    tokenize() and full encodings against HF BertTokenizer."""
+    import os
+
+    path = os.environ.get("CTCLIP_CXRBERT_VOCAB")
+    if not path or not os.path.exists(path):
+        pytest.skip("set CTCLIP_CXRBERT_VOCAB=/path/to/vocab.txt")
+    pytest.importorskip("transformers")
+    test_wordpiece_matches_hf_bert_tokenizer(path)
+
+
 def test_wordpiece_stress_goldens():
     """Committed golden token ids over an adversarial vocab (accents/NFD
     stripping, CJK isolation, punctuation runs, ##subwords, >100-char [UNK],
