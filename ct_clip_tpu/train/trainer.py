@@ -164,6 +164,9 @@ class CTClipTrainer:
                               process_index=process_index(),
                               process_count=pc,
                               raw_dtype=np.int16, raw_layout="zyx")
+        if self.patch_rows and pc == 1 and self._preprocess is self._rows_preprocess:
+            yield from self._row_batches(loader, local_bs)
+            return
         buf_v, buf_t = [], []
         for sample in loader:
             vol = self._preprocess(sample, self.train_ds.clip_before_resample)
@@ -194,6 +197,44 @@ class CTClipTrainer:
                         "attention_mask": jnp.asarray(enc["attention_mask"]),
                     }
                 buf_v, buf_t = [], []
+
+    def _row_batches(self, loader, local_bs: int):
+        """Single-process patch-rows ingest, fused: each volume's rows are
+        written straight into a (donated) batch-buffer slot
+        (data/loader.preprocess_sample_rows_into) — one dispatch per volume,
+        no host window + per-batch stack.  Triple-buffered so a slot write
+        never donates a buffer the in-flight train step still reads."""
+        import numpy as np
+
+        from ..data.loader import preprocess_sample_rows_into
+        from ..utils import device_put_standard
+
+        vcfg = self.model.config.ctvit
+        n_tok = ((vcfg.num_frames // vcfg.temporal_patch_size)
+                 * (vcfg.image_size // vcfg.patch_size) ** 2)
+        bufs = [device_put_standard(
+            np.zeros((local_bs, n_tok, vcfg.patch_dim),
+                     dtype=self.cfg.dtype)) for _ in range(3)]
+        bi, slot, buf_t = 0, 0, []
+        for sample in loader:
+            bufs[bi] = preprocess_sample_rows_into(
+                bufs[bi], slot, sample,
+                self.train_ds.clip_before_resample,
+                temporal_patch_size=vcfg.temporal_patch_size,
+                patch_size=vcfg.patch_size,
+                target_shape=self._model_target_shape())
+            slot += 1
+            buf_t.append(sample.meta.text)
+            if slot == local_bs:
+                enc = self.tokenizer(buf_t, padding="max_length",
+                                     truncation=True, max_length=512)
+                yield {
+                    "video": bufs[bi],
+                    "input_ids": jnp.asarray(enc["input_ids"]),
+                    "attention_mask": jnp.asarray(enc["attention_mask"]),
+                }
+                bi = (bi + 1) % 3
+                slot, buf_t = 0, []
 
     # ----------------------------------------------------------------- setup
     def _init_state(self, batch) -> None:
