@@ -22,7 +22,21 @@ def _load():
         return _lib
     if not _LIB_PATH.exists():
         return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        return _bind(ctypes.CDLL(str(_LIB_PATH)))
+    except (OSError, AttributeError):
+        # stale .so from an older tree (missing newer symbols): rebuild once,
+        # else report unavailable instead of crashing available()
+        if build(quiet=True):
+            try:
+                return _bind(ctypes.CDLL(str(_LIB_PATH)))
+            except (OSError, AttributeError):
+                return None
+        return None
+
+
+def _bind(lib):
+    global _lib
     lib.nifti_probe.restype = ctypes.c_int64
     lib.nifti_probe.argtypes = [ctypes.c_char_p,
                                 ctypes.POINTER(ctypes.c_int32),

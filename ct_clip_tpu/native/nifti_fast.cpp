@@ -261,7 +261,9 @@ bool maybe_gunzip(std::vector<uint8_t>& data, int threads,
     // maintenance — measured ~3x the chunked Z_NO_FLUSH loop below)
     uint32_t isize;
     std::memcpy(&isize, data.data() + data.size() - 4, 4);
-    if (isize > 0) {
+    // a corrupt trailer must not drive a multi-GB alloc: DEFLATE expands at
+    // most ~1032x, so anything past that is garbage -> chunked loop below
+    if (isize > 0 && (uint64_t)isize <= 1100ull * data.size() + 4096) {
       std::vector<uint8_t> out(isize);
       z_stream zs;
       std::memset(&zs, 0, sizeof(zs));
@@ -529,8 +531,11 @@ int64_t gunzip_probe_impl(const char* path) {
   // single-member gzip: ISIZE trailer is exact below 4 GB (CT volumes are
   // well under); multi-member non-indexed files are not produced by any
   // writer we read — the caller falls back on a short-capacity error.
+  // Bound against corrupt trailers (DEFLATE expands at most ~1032x) so the
+  // caller never allocates a multi-GB buffer for garbage.
   uint32_t isize;
   std::memcpy(&isize, data.data() + data.size() - 4, 4);
+  if ((uint64_t)isize > 1100ull * data.size() + 4096) return -3;
   return (int64_t)isize;
 }
 

@@ -123,9 +123,13 @@ def _cpb_expand_bwd(dims, _, g):
         heads = g.shape[-1]
         # (hw, hw, H) -> (ih, jh, iw, jw, H) pair-major per axis
         g5 = gf.reshape(h, w, h, w, heads).transpose(0, 2, 1, 3, 4)
-        t1 = hh @ g5.reshape(h * h, w * w * heads)
-        t2 = ww @ (t1.reshape(2 * h - 1, w * w, heads)
-                   .transpose(1, 0, 2).reshape(w * w, -1))
+        # HIGHEST precision: TPU's default matmul precision truncates f32
+        # operands to one bf16 pass (~3e-3 rel on the table grad, measured);
+        # these matmuls are ~0.25 GFLOP, exactness is free
+        hp = jax.lax.Precision.HIGHEST
+        t1 = jnp.matmul(hh, g5.reshape(h * h, w * w * heads), precision=hp)
+        t2 = jnp.matmul(ww, t1.reshape(2 * h - 1, w * w, heads)
+                        .transpose(1, 0, 2).reshape(w * w, -1), precision=hp)
         dt = (t2.reshape(2 * w - 1, 2 * h - 1, heads)
               .transpose(1, 0, 2).reshape((2 * h - 1) * (2 * w - 1), heads))
         return (dt.astype(g.dtype),)

@@ -564,12 +564,10 @@ def _rows_block(n: int, patch_dim: int, fwd: bool) -> Optional[int]:
 def _use_pallas_rows(n: int, patch_dim: int, dim: int) -> bool:
     # patch_dim need not be lane-aligned: Mosaic pads the minor dim (4000 ->
     # 4096, 2.4% waste) and the row-wise LN statistics mask the padding.
-    # BOTH block plans must exist: the bwd budget is 2x tighter, and a
-    # fwd-only gate would send _re_bwd into a None block plan (TypeError
-    # during backward) for large patch_dim configs.
-    if (patch_dim % 8 or dim % 128
-            or _rows_block(n, patch_dim, True) is None
-            or _rows_block(n, patch_dim, False) is None):
+    # Forward gate only — _re_bwd checks its own (2x tighter) block plan and
+    # falls back to the XLA VJP when it has none, so inference keeps the
+    # fused forward for shapes whose bwd plan doesn't fit.
+    if patch_dim % 8 or dim % 128 or _rows_block(n, patch_dim, True) is None:
         return False
     try:
         return kernels_supported()
@@ -697,7 +695,9 @@ def _re_fwd(rows, s1, b1, wi, pbias, s2, b2, eps, dtype):
 def _re_bwd(eps, dtype, res, g):
     rows, s1, b1, wi, pbias, s2, b2 = res
     _, n, patch_dim = rows.shape
-    if _use_pallas_rows(n, patch_dim, wi.shape[1]) and dtype == jnp.bfloat16:
+    if (_use_pallas_rows(n, patch_dim, wi.shape[1])
+            and _rows_block(n, patch_dim, False) is not None
+            and dtype == jnp.bfloat16):
         return _pallas_row_embed_bwd(rows, s1, b1, wi, pbias, s2, b2, g,
                                      eps, dtype)
     _, vjp = jax.vjp(lambda *a: _xla_row_embed(*a, eps, dtype),

@@ -99,7 +99,11 @@ class CTClipTrainer:
                           and self.model.image_encoder is None
                           and not self.model.config.use_visual_ssl)
         self.patch_rows = patch_rows
-        if patch_rows and preprocess_fn is None:
+        # boolean, not a bound-method identity check: `self._preprocess is
+        # self._rows_preprocess` is ALWAYS False (each attribute access
+        # builds a fresh bound method) — found in round-5 review
+        self._rows_ingest = patch_rows and preprocess_fn is None
+        if self._rows_ingest:
             self._preprocess = self._rows_preprocess
         else:
             self._preprocess = preprocess_fn or self._default_preprocess
@@ -164,7 +168,7 @@ class CTClipTrainer:
                               process_index=process_index(),
                               process_count=pc,
                               raw_dtype=np.int16, raw_layout="zyx")
-        if self.patch_rows and pc == 1 and self._preprocess is self._rows_preprocess:
+        if self._rows_ingest and pc == 1:
             yield from self._row_batches(loader, local_bs)
             return
         buf_v, buf_t = [], []

@@ -213,6 +213,27 @@ def test_maskgit_transformer_shapes_and_peg_residual():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_cpb_expand_backward_matches_scatter():
+    """_cpb_expand's matmul-form VJP (separable indicator matmuls, HIGHEST
+    precision) must match the scatter-add gradient it replaced, for square,
+    non-square and non-2D dims."""
+    import jax
+
+    from ct_clip_tpu.ops.attention import _cpb_expand, _cpb_index_map
+
+    rng = np.random.RandomState(2)
+    for dims in [(5, 7), (4, 4), (3, 5, 2)]:
+        n_off = int(np.prod([2 * d - 1 for d in dims]))
+        n = int(np.prod(dims))
+        table = jnp.asarray(rng.randn(n_off, 8).astype(np.float32))
+        g = jnp.asarray(rng.randn(n, n, 8).astype(np.float32))
+        dt = jax.grad(lambda t: jnp.sum(_cpb_expand(t, dims) * g))(table)
+        ref = np.zeros((n_off, 8), np.float32)
+        np.add.at(ref, _cpb_index_map(dims).reshape(-1),
+                  np.asarray(g).reshape(-1, 8))
+        np.testing.assert_allclose(np.asarray(dt), ref, rtol=1e-5, atol=1e-4)
+
+
 def test_cpb_unique_offset_gather_matches_full_grid():
     """CPB evaluated on unique offsets + gather == MLP over the full pair
     grid (the reference's formulation, attention.py:262-276)."""
