@@ -27,10 +27,11 @@ Figures reported (one JSON line):
 * `e2e_pipeline_vol_per_s`: the full production pipeline on real files —
   synthetic CT-RATE-shaped .nii.gz on a MIXED-Z corpus (150/300/450 slices
   -> 3 preprocess bucket shapes, all precompiled at startup) -> reader
-  threads (gunzip+decode) -> host->device transfers from a dedicated
-  transfer pool -> per-sample fused preprocess dispatch -> batched
-  encode+score, synced once per epoch.  Decode, h2d and device compute
-  overlap; the epoch cost is ~max(stages), not their sum.
+  threads (gunzip+decode) -> synced host->device transfers (see
+  _device_stream: unsynced transfer queues poison the experimental tunnel)
+  -> per-sample fused batch-slot ingest -> batched encode+score, synced
+  once per epoch.  Decode threads overlap the transfers; h2d is the wall
+  on this box.
 * `train_step_ms`: one jitted production-shape train step (bf16, no
   remat — the fused sublayers' custom VJPs already recompute flash-style,
   see bench_train_step), the counterpart of the reference's A100 batch-8
@@ -45,8 +46,6 @@ import json
 import os
 import sys
 import time
-from collections import deque
-from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -151,42 +150,23 @@ def _make_corpus(root) -> None:
 
 
 def _device_stream(loader, depth: int = 4):
-    """Overlap host->device transfers with decode and device compute:
-    jax.device_put is asynchronous, so issuing it on the calling thread and
-    holding `depth` transfers in flight already overlaps with the loader's
-    decode threads and the device's compute.  (An earlier version issued
-    device_put from a separate thread pool; concurrent transfers racing
-    compute dispatch through the experimental axon tunnel produced
-    intermittent INVALID_ARGUMENT backend errors — the r4 driver-bench
-    crash — and bought nothing on this box.)  Yields
+    """Stream decoded volumes to the device.  Transfers are SYNCED one at a
+    time: every unsynced variant (a 2-thread device_put pool in r4, then
+    plain async device_puts with a few in flight) sporadically poisons the
+    experimental axon tunnel under multi-hundred-MB transfer queues —
+    INVALID_ARGUMENT surfacing either at the epoch sync or on the next
+    transfer, killing the whole backend session (the r4 driver-bench
+    crash).  The synced form has never failed, and costs nothing here:
+    host->device bandwidth is the e2e wall on this box regardless (the
+    loader's decode threads still overlap via the prefetch queue; device
+    compute is ~1.5 s/epoch against ~22 s of transfers).  Yields
     (device_int16_vol, RawSample)."""
     import jax
 
-    pending = deque()
     for s in loader:
-        pending.append((jax.device_put(s.vol), s))
-        if len(pending) >= depth:
-            yield pending.popleft()
-    while pending:
-        yield pending.popleft()
-
-
-def _preprocess_int16_zyx(dv, s):
-    """(Z, Y, X) int16 on device -> (13824, 4000) bf16 patch rows, the
-    model's native ingest format: fused rescale/resample/crop + the patchify
-    shuffle run here, in the ingest stage, so the repeated scored step
-    starts from patch-major rows (fused_row_embed) and never pays the
-    lane-offset shuffle."""
-    import jax.numpy as jnp
-
-    from ct_clip_tpu.ops.resample import preprocess_to_patch_rows
-
-    return preprocess_to_patch_rows(
-        dv, jnp.asarray(s.spacing), jnp.float32(s.slope),
-        jnp.float32(s.intercept),
-        true_sizes=jnp.asarray(s.true_sizes[[0, 2, 1]]),
-        clip_before_resample=True, out_dtype=jnp.bfloat16,
-        input_layout="zyx")  # relayout rides the resample matmuls
+        dv = jax.device_put(s.vol)
+        _sync(dv[:1, :1, :4])
+        yield dv, s
 
 
 def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
@@ -199,7 +179,6 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
     import jax.numpy as jnp
 
     from ct_clip_tpu.data import CTReportDatasetInfer
-    from ct_clip_tpu.utils import stack_standard
     from ct_clip_tpu.data.loader import VolumeLoader, bucket_shape
 
     workers = max(2, min(16, os.cpu_count() or 2))
@@ -252,23 +231,6 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
           f"(caps e2e at {h2d_mbps * 1e6 / (n_bytes / E2E_VOLUMES):.2f} "
           f"vol/s)", file=sys.stderr)
 
-    # precompile every preprocess bucket shape before the timed epochs
-    by_bucket = {}
-    for s in samples:
-        by_bucket.setdefault(tuple(s.vol.shape), s)
-    t0 = time.time()
-    for s in by_bucket.values():
-        pre = _preprocess_int16_zyx(jax.device_put(s.vol), s)
-        _sync(pre[:1, :4])
-    n_buckets = len(by_bucket)
-    t_precompile = time.time() - t0
-    print(f"[bench] precompiled {n_buckets} preprocess bucket shapes "
-          f"in {t_precompile:.0f}s", file=sys.stderr)
-
-    # device-side pipeline: volumes already resident in HBM -> fused
-    # preprocess writing straight into the batch buffer slot (one dispatch
-    # per volume, no stack copy; ops/resample.preprocess_rows_into) ->
-    # batched encode + score (what a PCIe host is bound by)
     import jax.numpy as jnp
 
     from ct_clip_tpu import CTCLIPConfig
@@ -283,6 +245,25 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
     bufs = [device_put_standard(
         np.zeros((batch, n_tok, vcfg.patch_dim), dtype=jnp.bfloat16))
         for _ in range(2)]
+
+    # precompile the fused ingest program for every bucket shape before the
+    # timed epochs (the same program the device pipeline, the e2e epochs
+    # and production run_zero_shot dispatch per volume)
+    by_bucket = {}
+    for s in samples:
+        by_bucket.setdefault(tuple(s.vol.shape), s)
+    t0 = time.time()
+    for s in by_bucket.values():
+        bufs[0] = preprocess_rows_into(
+            bufs[0], 0, jax.device_put(s.vol), jnp.asarray(s.spacing),
+            jnp.float32(s.slope), jnp.float32(s.intercept),
+            true_sizes=jnp.asarray(s.true_sizes[[0, 2, 1]]),
+            clip_before_resample=True, input_layout="zyx")
+        _sync(bufs[0][:1, :1, :4])
+    n_buckets = len(by_bucket)
+    t_precompile = time.time() - t0
+    print(f"[bench] precompiled {n_buckets} preprocess bucket shapes "
+          f"in {t_precompile:.0f}s", file=sys.stderr)
 
     resident = [(jax.device_put(s.vol), s) for s in samples]
     for dv, _ in resident:
@@ -318,16 +299,25 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
     del resident
 
     def run_epoch() -> float:
-        outs, window = [], []
+        # the SAME fused slot ingest as the device pipeline and the
+        # production zero-shot path (run_zero_shot patch-rows branch):
+        # besides being faster, the forced-layout per-batch stack this
+        # replaces was the remaining suspect in the intermittent on-chip
+        # INVALID_ARGUMENT failures the r4 verdict flagged — every fused-
+        # buffer epoch has run clean
+        outs, slot, bi = [], 0, 0
         t0 = time.time()
         for dv, s in _device_stream(mk_loader(), depth=batch // 2):
-            window.append(_preprocess_int16_zyx(dv, s))
-            if len(window) == batch:
-                # standard-layout batch: plain stack goes compact on
-                # TPU and the scored step pays a relayout copy
-                rows = stack_standard(window)
-                outs.append(score_jit(variables, rows, prompts))
-                window = []
+            bufs[bi] = preprocess_rows_into(
+                bufs[bi], slot, dv, jnp.asarray(s.spacing),
+                jnp.float32(s.slope), jnp.float32(s.intercept),
+                true_sizes=jnp.asarray(s.true_sizes[[0, 2, 1]]),
+                clip_before_resample=True, input_layout="zyx")
+            slot += 1
+            if slot == batch:
+                outs.append(score_jit(variables, bufs[bi], prompts))
+                bi ^= 1
+                slot = 0
         for o in outs:  # single sync point per epoch
             _sync(o)
         return time.time() - t0
@@ -342,8 +332,9 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
         try:
             return run_epoch()
         except jax.errors.JaxRuntimeError as e:  # noqa: PERF203
-            print(f"[bench] transient backend error mid-epoch, retrying: "
-                  f"{e}", file=sys.stderr)
+            print(f"[bench] transient backend error mid-epoch, retrying "
+                  f"after backoff: {e}", file=sys.stderr)
+            time.sleep(10)  # let any poisoned in-flight work drain
             return run_epoch()
 
     t_warm = epoch_retry()
