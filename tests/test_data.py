@@ -290,6 +290,36 @@ def test_native_read_bytes_paths(tmp_path):
             assert bytes(got) == payload, (p, threads)
 
 
+def test_native_corrupt_isize_trailer_no_giant_alloc(tmp_path):
+    """A corrupted gzip ISIZE trailer (e.g. 0xFFFFFFFF) must not drive a
+    multi-GB allocation: gunzip_probe rejects implausible expansion ratios
+    (DEFLATE is at most ~1032x) and read_bytes_native falls back cleanly
+    through data.nifti._read_bytes to the pure-python gzip path."""
+    import gzip
+
+    from ct_clip_tpu import native
+    from ct_clip_tpu.data.nifti import _read_bytes
+
+    if not native.available() and not native.build():
+        pytest.skip("no native toolchain")
+
+    payload = b"x" * 50_000
+    blob = bytearray(gzip.compress(payload, 1))
+    blob[-4:] = b"\xff\xff\xff\xff"  # corrupt ISIZE
+    p = tmp_path / "bad.gz"
+    p.write_bytes(bytes(blob))
+
+    with pytest.raises(ValueError):
+        native.read_bytes_native(str(p))
+    # the loader-facing wrapper falls through to the python gzip module,
+    # which also validates the trailer: a clean error either way, never a
+    # giant allocation or a process-killing bad_alloc
+    import gzip as _gz
+
+    with pytest.raises(_gz.BadGzipFile):
+        _read_bytes(p)
+
+
 def test_read_raw_on_indexed_corpus(tmp_path):
     """read_raw over a recompressed (indexed multi-member) corpus must match
     the original byte-for-byte on every path incl. inflate_threads > 1 —
