@@ -149,6 +149,24 @@ def _make_corpus(root) -> None:
         " ".join(map(str, E2E_ZS)) + f" {tag}\n")
 
 
+def _with_retries(fn, attempts: int = 3):
+    """Run fn, retrying on transient tunnel/backend errors with a backoff —
+    the experimental axon backend sporadically fails an async program
+    (INVALID_ARGUMENT at a later fetch); report the flake loudly and keep
+    measuring rather than abort the whole driver record."""
+    import jax
+
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:  # noqa: PERF203
+            if attempt == attempts:
+                raise
+            print(f"[bench] transient backend error (attempt {attempt}), "
+                  f"retrying after backoff: {e}", file=sys.stderr)
+            time.sleep(10)  # let any poisoned in-flight work drain
+
+
 def _device_stream(loader, depth: int = 4):
     """Stream decoded volumes to the device.  Transfers are SYNCED one at a
     time: every unsynced variant (a 2-thread device_put pool in r4, then
@@ -292,8 +310,8 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
             _sync(o)
         return (time.time() - t0) / reps
 
-    device_epoch()  # warm (score shape already compiled; first dispatch)
-    t_dev = min(device_epoch() for _ in range(3))
+    _with_retries(device_epoch)  # warm (first dispatch of every program)
+    t_dev = min(_with_retries(device_epoch) for _ in range(3))
     dev_vps = E2E_VOLUMES / t_dev
     print(f"[bench] device pipeline: {dev_vps:.2f} vol/s", file=sys.stderr)
     del resident
@@ -322,20 +340,11 @@ def bench_e2e(score_jit, variables, prompts, batch: int) -> dict:
             _sync(o)
         return time.time() - t0
 
-    def epoch_retry():
-        """One retry on transient backend errors: the experimental axon
-        tunnel sporadically fails an async program (~1 in 10 epochs
-        observed); a bench harness should report the flake and keep
-        measuring, not abort the whole record."""
-        import jax
-
-        try:
-            return run_epoch()
-        except jax.errors.JaxRuntimeError as e:  # noqa: PERF203
-            print(f"[bench] transient backend error mid-epoch, retrying "
-                  f"after backoff: {e}", file=sys.stderr)
-            time.sleep(10)  # let any poisoned in-flight work drain
-            return run_epoch()
+    def epoch_retry(fn=None):
+        """Retries on transient backend errors: the experimental axon
+        tunnel sporadically fails an async program; a bench harness should
+        report the flake and keep measuring, not abort the whole record."""
+        return _with_retries(fn or run_epoch)
 
     t_warm = epoch_retry()
     print(f"[bench] e2e warm epoch: {t_warm:.1f}s", file=sys.stderr)
